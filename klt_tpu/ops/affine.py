@@ -1,0 +1,347 @@
+"""Affine / similarity / translation consistency checking.
+
+Batched re-design of the reference's per-feature drift detector
+(_am_trackFeatureAffine and helpers, src/V1/trackFeatures.c:506-1220;
+driver integration :1438-1497): after each successful translation track,
+a feature is compared against a reference patch saved at its first
+successful track.  Drifting features are killed.
+
+TPU-first mapping:
+* per-feature reference patches (the C code's aff_img* FloatImages,
+  src/V1/klt.h:96-105) are dense [N, ph, pw] tensors with a validity mask
+  instead of NULL pointers;
+* the 6x6 / 4x4 normal equations are built as one batched einsum
+  (T = D^T D with D the [N, K, P] design matrix — algebraically identical
+  to the unrolled accumulations in src/V1/trackFeatures.c:730-797 and
+  :846-893) and solved with a batched linear solve in place of the
+  per-feature Gauss-Jordan elimination (:546-602);
+* the Newton loop is a fixed-trip fori_loop with per-feature masks.
+
+Behavioural parity notes:
+* mode 0 = translation-only check, 1 = similarity (4 DoF),
+  2 = full affine (6 DoF), matching affineConsistencyCheck;
+* the error vector is scaled by 0.5 (:836, :928), the translation branch
+  by step_factor (:1047);
+* the drift kill compares SIGNED displacement against
+  affine_max_displacement_differ (:1191 — no fabs in the reference;
+  replicated);
+* on success the feature KEEPS the translation tracker's position — the
+  reference discards the affine tracker's x2 (:1493-1494).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TrackingConfig, TRACKED, SMALL_DET, OOB, LARGE_RESIDUE
+from .interp import bilinear_sample, window_offsets
+
+_EPS = np.float32(1.001)
+_PATCH_BORDER = 2  # interpolation margin around the affine window (:1439)
+
+
+@dataclasses.dataclass
+class AffineState:
+    """Per-feature reference patches + affine parameters (device arrays)."""
+
+    valid: jax.Array      # bool[N] — patch saved (C: aff_img != NULL)
+    img: jax.Array        # f32[N, ph, pw]
+    gradx: jax.Array
+    grady: jax.Array
+    x: jax.Array          # f32[N] patch-frame center (C aff_x)
+    y: jax.Array
+    axx: jax.Array        # f32[N] affine map (C aff_Axx..aff_Ayy)
+    ayx: jax.Array
+    axy: jax.Array
+    ayy: jax.Array
+
+    @classmethod
+    def create(cls, n: int, cfg: TrackingConfig) -> "AffineState":
+        pw = cfg.affine_window_width + _PATCH_BORDER
+        ph = cfg.affine_window_height + _PATCH_BORDER
+        z = jnp.zeros((n, ph, pw), jnp.float32)
+        v = jnp.zeros(n, jnp.float32)
+        return cls(valid=jnp.zeros(n, bool), img=z, gradx=z, grady=z,
+                   x=v, y=v, axx=jnp.ones(n, jnp.float32), ayx=v,
+                   axy=v, ayy=jnp.ones(n, jnp.float32))
+
+    def invalidate(self, indices: np.ndarray) -> None:
+        if len(indices):
+            self.valid = self.valid.at[jnp.asarray(indices)].set(False)
+
+
+def _extract_patches(img: jax.Array, x: jax.Array, y: jax.Array,
+                     ph: int, pw: int) -> jax.Array:
+    """Integer-aligned [N, ph, pw] patches centered at trunc(x), trunc(y)
+    (reference: _am_getSubFloatImage, src/V1/trackFeatures.c:665-688)."""
+    hw, hh = pw // 2, ph // 2
+    x0 = x.astype(jnp.int32) - hw
+    y0 = y.astype(jnp.int32) - hh
+
+    def one(xs, ys):
+        return jax.lax.dynamic_slice(img, (ys, xs), (ph, pw))
+
+    return jax.vmap(one)(x0, y0)
+
+
+def _corners(axx, ayx, axy, ayy, x2, y2, hw, hh):
+    """Warped window corner coordinates (src/V1/trackFeatures.c:1061-1068)."""
+    ul_x = axx * (-hw) + axy * hh + x2
+    ul_y = ayx * (-hw) + ayy * hh + y2
+    ll_x = axx * (-hw) + axy * (-hh) + x2
+    ll_y = ayx * (-hw) + ayy * (-hh) + y2
+    ur_x = axx * hw + axy * hh + x2
+    ur_y = ayx * hw + ayy * hh + y2
+    lr_x = axx * hw + axy * (-hh) + x2
+    lr_y = ayx * hw + ayy * (-hh) + y2
+    return (ul_x, ul_y, ll_x, ll_y, ur_x, ur_y, lr_x, lr_y)
+
+
+def _coord_oob(c, n):
+    return (c < 0.0) | (n - c < _EPS)
+
+
+def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
+                 a_in, active, cfg: TrackingConfig):
+    """Batched Gauss-Newton against the saved reference patches.
+
+    patches: (img, gradx, grady) each [N, ph, pw]; img2/grad*2 [H, W];
+    x1,y1 [N] patch-frame centers; x2_in,y2_in [N] start positions in
+    img2; a_in = (axx, ayx, axy, ayy).  Returns (x2, y2, a_out, status).
+    """
+    mode = cfg.affine_consistency_check
+    aw, ah = cfg.affine_window_width, cfg.affine_window_height
+    hw, hh = np.float32(aw // 2), np.float32(ah // 2)
+    pimg, pgx, pgy = patches
+    ph, pw = pimg.shape[-2], pimg.shape[-1]
+    nr2, nc2 = img2.shape
+    nc2f, nr2f = np.float32(nc2), np.float32(nr2)
+    pcf, prf = np.float32(pw), np.float32(ph)
+    area = np.float32(aw * ah)
+    th = np.float32(cfg.min_displacement)
+    th_aff = np.float32(cfg.affine_min_displacement)
+    mdd = np.float32(cfg.affine_max_displacement_differ)
+
+    dxo, dyo = window_offsets(aw, ah)
+    dxo, dyo = jnp.asarray(dxo), jnp.asarray(dyo)  # [K]
+    sample_patch = jax.vmap(bilinear_sample)       # ([N,ph,pw],[N,K],[N,K])
+
+    # Patch-side windows are iteration-invariant.
+    xs1 = x1[:, None] + dxo[None, :]
+    ys1 = y1[:, None] + dyo[None, :]
+    g1 = sample_patch(pimg, xs1, ys1)
+
+    src_oob = (_coord_oob(x1 - hw, pcf) | (pcf - (x1 + hw) < _EPS) |
+               _coord_oob(y1 - hh, prf) | (prf - (y1 + hh) < _EPS))
+
+    axx0, ayx0, axy0, ayy0 = a_in
+
+    def warp_coords(axx, ayx, axy, ayy, x2, y2):
+        mi = axx[:, None] * dxo[None, :] + axy[:, None] * dyo[None, :]
+        mj = ayx[:, None] * dxo[None, :] + ayy[:, None] * dyo[None, :]
+        return x2[:, None] + mi, y2[:, None] + mj
+
+    def body(_, state):
+        x2, y2, axx, ayx, axy, ayy, status, done = state
+
+        if mode == 0:
+            oob = (src_oob |
+                   (x2 - hw < 0.0) | (nc2f - (x2 + hw) < _EPS) |
+                   (y2 - hh < 0.0) | (nr2f - (y2 + hh) < _EPS))
+        else:
+            cs = _corners(axx, ayx, axy, ayy, x2, y2, hw, hh)
+            oob = src_oob
+            for k in range(0, 8, 2):
+                oob = oob | _coord_oob(cs[k], nc2f) | _coord_oob(cs[k + 1],
+                                                                 nr2f)
+        status = jnp.where(~done & oob, OOB, status)
+        done = done | oob
+
+        if mode == 0:
+            xs2 = x2[:, None] + dxo[None, :]
+            ys2 = y2[:, None] + dyo[None, :]
+            g2 = bilinear_sample(img2, xs2, ys2)
+            gx = sample_patch(pgx, xs1, ys1) + bilinear_sample(gradx2, xs2,
+                                                               ys2)
+            gy = sample_patch(pgy, xs1, ys1) + bilinear_sample(grady2, xs2,
+                                                               ys2)
+            diff = g1 - g2
+            gxx = jnp.sum(gx * gx, axis=1)
+            gxy = jnp.sum(gx * gy, axis=1)
+            gyy = jnp.sum(gy * gy, axis=1)
+            step = np.float32(cfg.step_factor)
+            ex = jnp.sum(diff * gx, axis=1) * step
+            ey = jnp.sum(diff * gy, axis=1) * step
+            det = gxx * gyy - gxy * gxy
+            small = det < np.float32(cfg.min_determinant)
+            det_safe = jnp.where(small, 1.0, det)
+            dx = (gyy * ex - gxy * ey) / det_safe
+            dy = (gxx * ey - gxy * ex) / det_safe
+            conv = (jnp.abs(dx) < th) & (jnp.abs(dy) < th)
+        else:
+            wx, wy = warp_coords(axx, ayx, axy, ayy, x2, y2)
+            g2 = bilinear_sample(img2, wx, wy)
+            gx = bilinear_sample(gradx2, wx, wy)  # [N,K]
+            gy = bilinear_sample(grady2, wx, wy)
+            diff = g1 - g2
+
+            xi, yj = dxo[None, :], dyo[None, :]
+            if mode == 1:  # similarity: (s, r, dx, dy)
+                d_cols = [xi * gx + yj * gy, xi * gy - yj * gx, gx, gy]
+            else:  # full affine
+                d_cols = [xi * gx, xi * gy, yj * gx, yj * gy, gx, gy]
+            D = jnp.stack(d_cols, axis=-1)  # [N, K, P]
+            T = jnp.einsum("nkp,nkq->npq", D, D,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            e = 0.5 * jnp.einsum("nkp,nk->np", D, diff,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+
+            det = jnp.linalg.det(T)
+            small = det == 0.0
+            T_safe = jnp.where(small[:, None, None],
+                               jnp.eye(T.shape[-1], dtype=T.dtype)[None], T)
+            a = jnp.linalg.solve(T_safe, e[..., None])[..., 0]
+
+            old = _corners(axx, ayx, axy, ayy, x2, y2, hw, hh)
+            if mode == 1:
+                axx_n = axx + a[:, 0]
+                ayx_n = ayx + a[:, 1]
+                ayy_n = axx_n
+                axy_n = -ayx_n
+                dx, dy = a[:, 2], a[:, 3]
+            else:
+                axx_n = axx + a[:, 0]
+                ayx_n = ayx + a[:, 1]
+                axy_n = axy + a[:, 2]
+                ayy_n = ayy + a[:, 3]
+                dx, dy = a[:, 4], a[:, 5]
+
+            upd_ok = ~done & ~small
+            axx = jnp.where(upd_ok, axx_n, axx)
+            ayx = jnp.where(upd_ok, ayx_n, ayx)
+            axy = jnp.where(upd_ok, axy_n, axy)
+            ayy = jnp.where(upd_ok, ayy_n, ayy)
+
+            new = _corners(axx, ayx, axy, ayy,
+                           x2 + jnp.where(upd_ok, dx, 0.0),
+                           y2 + jnp.where(upd_ok, dy, 0.0), hw, hh)
+            conv = (jnp.abs(dx) < th) & (jnp.abs(dy) < th)
+            for k in range(8):
+                conv = conv & (jnp.abs(old[k] - new[k]) < th_aff)
+
+        status = jnp.where(~done & small, SMALL_DET, status)
+        done_after_small = done | small
+        x2 = x2 + jnp.where(~done & ~small, dx, 0.0)
+        y2 = y2 + jnp.where(~done & ~small, dy, 0.0)
+        done = done_after_small | (~done_after_small & conv)
+        return x2, y2, axx, ayx, axy, ayy, status, done
+
+    status0 = jnp.full(x2_in.shape, TRACKED, jnp.int32)
+    init = (x2_in, y2_in, axx0, ayx0, axy0, ayy0, status0, ~active)
+    x2, y2, axx, ayx, axy, ayy, status, _ = jax.lax.fori_loop(
+        0, cfg.affine_max_iterations, body, init)
+
+    # Post-loop checks (src/V1/trackFeatures.c:1185-1208).
+    final_oob = ((x2 - hw < 0.0) | (nc2f - (x2 + hw) < _EPS) |
+                 (y2 - hh < 0.0) | (nr2f - (y2 + hh) < _EPS))
+    drift = ((x2 - x2_in) > mdd) | ((y2 - y2_in) > mdd)  # signed, as in C
+    status = jnp.where(final_oob | drift, OOB, status)
+
+    if mode == 0:
+        xs2 = x2[:, None] + dxo[None, :]
+        ys2 = y2[:, None] + dyo[None, :]
+        g2 = bilinear_sample(img2, xs2, ys2)
+    else:
+        wx, wy = warp_coords(axx, ayx, axy, ayy, x2, y2)
+        g2 = bilinear_sample(img2, wx, wy)
+    residue = jnp.sum(jnp.abs(g1 - g2), axis=1) / area
+    status = jnp.where((status == TRACKED) &
+                       (residue > np.float32(cfg.affine_max_residue)),
+                       LARGE_RESIDUE, status)
+    status = jnp.where(active, status, TRACKED)
+    return x2, y2, (axx, ayx, axy, ayy), status
+
+
+def affine_consistency_step(state: AffineState, pyr1_state, pyr2_state,
+                            x_old, y_old, val_old, xn, yn, vn,
+                            cfg: TrackingConfig):
+    """Post-translation-track consistency pass, mutating `state`.
+
+    Mirrors the driver logic at src/V1/trackFeatures.c:1438-1497:
+    newly-tracked features save a reference patch; previously-saved
+    features are re-verified against it and killed on drift.
+    Returns updated (x, y, val).
+    """
+    pyr1, gx1, gy1 = pyr1_state
+    pyr2, gx2, gy2 = pyr2_state
+    out = _affine_step_jit(state.valid, state.img, state.gradx, state.grady,
+                           state.x, state.y, state.axx, state.ayx,
+                           state.axy, state.ayy,
+                           pyr1[0], gx1[0], gy1[0],
+                           pyr2[0], gx2[0], gy2[0],
+                           x_old, y_old, xn, yn, vn, cfg)
+    (state.valid, state.img, state.gradx, state.grady, state.x, state.y,
+     state.axx, state.ayx, state.axy, state.ayy, x_out, y_out,
+     val_out) = out
+    return x_out, y_out, val_out
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=21)
+def _affine_step_jit(valid, pimg, pgx, pgy, ax_c, ay_c, axx, ayx, axy, ayy,
+                     img1, gradx1, grady1, img2, gradx2, grady2,
+                     x_old, y_old, xn, yn, vn, cfg: TrackingConfig):
+    pw = cfg.affine_window_width + _PATCH_BORDER
+    ph = cfg.affine_window_height + _PATCH_BORDER
+
+    tracked = vn == TRACKED
+    init_mask = tracked & ~valid
+    run_mask = tracked & valid
+
+    # Save reference patches for first-time-tracked features at their
+    # pre-track position in image 1 (src/V1/trackFeatures.c:1445-1454).
+    new_img = _extract_patches(img1, x_old, y_old, ph, pw)
+    new_gx = _extract_patches(gradx1, x_old, y_old, ph, pw)
+    new_gy = _extract_patches(grady1, x_old, y_old, ph, pw)
+    m3 = init_mask[:, None, None]
+    pimg = jnp.where(m3, new_img, pimg)
+    pgx = jnp.where(m3, new_gx, pgx)
+    pgy = jnp.where(m3, new_gy, pgy)
+    frac_x = x_old - x_old.astype(jnp.int32).astype(jnp.float32)
+    frac_y = y_old - y_old.astype(jnp.int32).astype(jnp.float32)
+    ax_c = jnp.where(init_mask, frac_x + pw // 2, ax_c)
+    ay_c = jnp.where(init_mask, frac_y + ph // 2, ay_c)
+    axx = jnp.where(init_mask, 1.0, axx)
+    ayx = jnp.where(init_mask, 0.0, ayx)
+    axy = jnp.where(init_mask, 0.0, axy)
+    ayy = jnp.where(init_mask, 1.0, ayy)
+
+    # Verify features that already have a reference patch.
+    x2, y2, (axx_r, ayx_r, axy_r, ayy_r), st = track_affine(
+        (pimg, pgx, pgy), img2, gradx2, grady2, ax_c, ay_c, xn, yn,
+        (axx, ayx, axy, ayy), run_mask, cfg)
+
+    killed = run_mask & (st != TRACKED)
+    x_out = jnp.where(killed, jnp.float32(-1.0), xn)
+    y_out = jnp.where(killed, jnp.float32(-1.0), yn)
+    val_out = jnp.where(run_mask, st, vn)
+
+    keep = run_mask & (st == TRACKED)
+    axx = jnp.where(keep, axx_r, axx)
+    ayx = jnp.where(keep, ayx_r, ayx)
+    axy = jnp.where(keep, axy_r, axy)
+    ayy = jnp.where(keep, ayy_r, ayy)
+
+    valid = jnp.where(tracked, jnp.where(valid, st == TRACKED, True), False)
+    ax_c = jnp.where(killed, jnp.float32(-1.0), ax_c)
+    ay_c = jnp.where(killed, jnp.float32(-1.0), ay_c)
+    return (valid, pimg, pgx, pgy, ax_c, ay_c, axx, ayx, axy, ayy,
+            x_out, y_out, val_out)

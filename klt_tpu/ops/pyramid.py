@@ -1,0 +1,49 @@
+"""Gaussian pyramid construction.
+
+Reference semantics (_KLTComputePyramid, src/V1/pyramid.c:87-131): level 0
+is the (pre-smoothed) input; each coarser level smooths the previous level
+with sigma = subsampling * pyramid_sigma_fact and decimates with stride
+`subsampling` at offset `subsampling // 2`.  Level dims shrink by integer
+division.  All levels stay device-resident — the TPU analogue of the V3
+GPU-resident pyramid chain (src/V3/pyramidGPU.cu:186-235).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TrackingConfig, pyramid_shapes
+from .convolve import compute_smoothed_image, compute_gradients
+
+
+def build_pyramid(img: jax.Array, cfg: TrackingConfig) -> list[jax.Array]:
+    """List of per-level float32 images, finest first."""
+    s = cfg.subsampling
+    sh = s // 2
+    shapes = pyramid_shapes(img.shape[-1], img.shape[-2], cfg)
+    levels = [img]
+    for lvl in range(1, cfg.n_pyramid_levels):
+        prev = levels[-1]
+        sm = compute_smoothed_image(prev, cfg.pyramid_sigma)
+        ncols, nrows = shapes[lvl]
+        levels.append(sm[..., sh::s, sh::s][..., :nrows, :ncols])
+    return levels
+
+
+def build_image_pyramids(img: jax.Array, cfg: TrackingConfig):
+    """(pyr, pyr_gradx, pyr_grady) from a raw uint8/float frame.
+
+    Applies the pre-smoothing step the tracker uses
+    (reference: src/V1/trackFeatures.c:1296-1308) and computes per-level
+    gradients with grad_sigma.
+    """
+    smoothed = compute_smoothed_image(img.astype(jnp.float32),
+                                      cfg.smooth_sigma)
+    pyr = build_pyramid(smoothed, cfg)
+    gradx, grady = [], []
+    for lvl_img in pyr:
+        gx, gy = compute_gradients(lvl_img, cfg.grad_sigma)
+        gradx.append(gx)
+        grady.append(gy)
+    return pyr, gradx, grady

@@ -1,0 +1,119 @@
+"""Feature-file and PNM I/O: byte-compatibility with the reference."""
+
+import os
+
+import numpy as np
+import pytest
+
+import klt_tpu as klt
+from klt_tpu.features import FeatureList, FeatureHistory, FeatureTable
+from klt_tpu.io.features_io import (write_feature_table, read_feature_table,
+                                    write_feature_list, read_feature_list,
+                                    write_feature_history,
+                                    read_feature_history)
+from klt_tpu.io.pnm import read_pgm, write_pgm, read_ppm, write_ppm
+from conftest import REF_GOLDEN
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_GOLDEN),
+                    reason="reference goldens unavailable")
+def test_table_text_bytes_match_reference(tmp_path):
+    """Read the golden binary table, write text — must equal the golden
+    text file byte-for-byte (same printf semantics)."""
+    ft = read_feature_table(os.path.join(REF_GOLDEN, "features2.ft"))
+    out = tmp_path / "features2.txt"
+    write_feature_table(ft, str(out), "%5.1f")
+    got = out.read_bytes()
+    want = open(os.path.join(REF_GOLDEN, "features2.txt"), "rb").read()
+    assert got == want
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_GOLDEN),
+                    reason="reference goldens unavailable")
+def test_table_binary_bytes_match_reference(tmp_path):
+    ft = read_feature_table(os.path.join(REF_GOLDEN, "features2.ft"))
+    out = tmp_path / "features2.ft"
+    write_feature_table(ft, str(out))
+    got = out.read_bytes()
+    want = open(os.path.join(REF_GOLDEN, "features2.ft"), "rb").read()
+    assert got == want
+
+
+def test_table_text_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    ft = FeatureTable.create(4, 7)
+    ft.x[:] = rng.rand(7, 4).astype(np.float32) * 300
+    ft.y[:] = rng.rand(7, 4).astype(np.float32) * 200
+    ft.val[:] = rng.randint(-5, 100, (7, 4))
+    p = tmp_path / "t.txt"
+    write_feature_table(ft, str(p), "%7.3f")
+    back = read_feature_table(str(p))
+    np.testing.assert_allclose(back.x, ft.x, atol=1e-3)
+    np.testing.assert_allclose(back.y, ft.y, atol=1e-3)
+    np.testing.assert_array_equal(back.val, ft.val)
+
+
+def test_list_and_history_roundtrip(tmp_path):
+    fl = FeatureList.create(5)
+    fl.x[:] = [1.5, 2.25, -1, 3.75, 100.0]
+    fl.y[:] = [9.5, 8.25, -1, 7.125, 200.0]
+    fl.val[:] = [0, 10, -4, 0, 523]
+    for fmt in (None, "%5.1f", "%3d"):
+        p = tmp_path / f"l{fmt or 'bin'}.dat"
+        write_feature_list(fl, str(p), fmt)
+        back = read_feature_list(str(p))
+        np.testing.assert_array_equal(back.val, fl.val)
+        if fmt is None:
+            np.testing.assert_array_equal(back.x, fl.x)
+
+    fh = FeatureHistory.create(3)
+    fh.x[:] = [1, 2, 3]
+    fh.y[:] = [4, 5, 6]
+    fh.val[:] = [0, 0, -1]
+    p = tmp_path / "h.bin"
+    write_feature_history(fh, str(p))
+    back = read_feature_history(str(p))
+    np.testing.assert_array_equal(back.x, fh.x)
+    np.testing.assert_array_equal(back.val, fh.val)
+
+
+def test_store_extract():
+    ft = FeatureTable.create(3, 4)
+    fl = FeatureList.create(4)
+    fl.x[:] = [1, 2, 3, 4]
+    fl.y[:] = [5, 6, 7, 8]
+    fl.val[:] = [0, 0, -2, 9]
+    ft.store_list(fl, 1)
+    back = ft.extract_list(1)
+    np.testing.assert_array_equal(back.x, fl.x)
+    fh = ft.extract_history(2)
+    assert fh.x[1] == 3 and fh.val[1] == -2
+
+
+def test_pgm_roundtrip(tmp_path):
+    img = (np.arange(200 * 100) % 251).astype(np.uint8).reshape(100, 200)
+    p = tmp_path / "x.pgm"
+    write_pgm(str(p), img)
+    np.testing.assert_array_equal(read_pgm(str(p)), img)
+
+
+def test_pgm_reads_reference_frame():
+    path = "/root/reference/data/images_provided/img0.pgm"
+    if not os.path.exists(path):
+        pytest.skip("dataset unavailable")
+    img = read_pgm(path)
+    assert img.shape == (240, 320)
+    assert img.dtype == np.uint8
+
+
+def test_ppm_roundtrip_and_overlay(tmp_path):
+    img = np.zeros((50, 60), np.uint8)
+    fl = FeatureList.create(2)
+    fl.x[:] = [10.2, 58.9]
+    fl.y[:] = [10.6, 0.1]
+    fl.val[:] = [0, 0]
+    rgb = klt.feature_overlay(fl, img)
+    assert tuple(rgb[11, 10]) == (255, 0, 0)  # rounded center
+    p = tmp_path / "o.ppm"
+    write_ppm(str(p), rgb)
+    np.testing.assert_array_equal(read_ppm(str(p)), rgb)

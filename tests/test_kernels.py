@@ -1,0 +1,61 @@
+"""Kernel taps and widths vs the reference impulse-response oracles."""
+
+import numpy as np
+import pytest
+
+from klt_tpu.kernels import gaussian_kernels, kernel_widths
+from conftest import load_f32
+
+
+@pytest.mark.parametrize("sigma,tag", [(0.7, "0p7"), (1.0, "1p0"),
+                                       (3.6, "3p6")])
+def test_smooth_impulse_matches_oracle(sigma, tag):
+    """Smoothing a centered delta = outer(gauss, gauss)."""
+    oracle = load_f32(f"delta_smooth_s{tag}.f32", (64, 64))
+    g, _ = gaussian_kernels(sigma)
+    r = len(g) // 2
+    c = 32
+    expect = np.outer(g, g)
+    got = oracle[c - r:c + r + 1, c - r:c + r + 1]
+    np.testing.assert_allclose(got, expect, atol=1e-7)
+    # everything outside the support is zero
+    masked = oracle.copy()
+    masked[c - r:c + r + 1, c - r:c + r + 1] = 0
+    assert np.all(masked == 0)
+
+
+@pytest.mark.parametrize("sigma,tag", [(0.7, "0p7"), (1.0, "1p0"),
+                                       (3.6, "3p6")])
+def test_gradient_impulse_matches_oracle(sigma, tag):
+    """gradx impulse = outer(gauss_vert, deriv_horiz) with the reference's
+    reversed-tap (true convolution) orientation."""
+    oracle = load_f32(f"delta_gradx_s{tag}.f32", (64, 64))
+    g, d = gaussian_kernels(sigma)
+    rg, rd = len(g) // 2, len(d) // 2
+    c = 32
+    # out = convolve rows with deriv (reversed), cols with gauss (reversed)
+    expect = np.outer(g[::-1], d[::-1])
+    got = oracle[c - rg:c + rg + 1, c - rd:c + rd + 1]
+    np.testing.assert_allclose(got, expect, atol=1e-7)
+
+
+def test_kernel_widths():
+    """Widths from the 1% tail rule for the default sigmas."""
+    assert kernel_widths(0.7) == (5, 5)
+    gw, dw = kernel_widths(1.0)
+    assert gw % 2 == 1 and dw % 2 == 1
+    assert kernel_widths(3.6)[0] == 21  # drives border=24 for defaults
+
+
+def test_gauss_normalized():
+    for sigma in (0.7, 1.0, 3.6, 2.5):
+        g, d = gaussian_kernels(sigma)
+        assert abs(g.sum() - 1.0) < 1e-6
+        hw = len(d) // 2
+        moment = -sum(i * d[i + hw] for i in range(-hw, hw + 1))
+        assert abs(moment - 1.0) < 1e-5
+
+
+def test_sigma_too_large_raises():
+    with np.testing.assert_raises(ValueError):
+        gaussian_kernels(25.0)

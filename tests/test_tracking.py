@@ -1,0 +1,120 @@
+"""Tracking vs the CPU oracle: single step, golden 10-frame sequence,
+and behavioural variants (replacement / affine / lighting)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import klt_tpu as klt
+from klt_tpu.io.features_io import read_feature_table
+from conftest import load_xyv, fixture_path, REF_GOLDEN
+
+
+def _drift(x1, y1, v1, x2, y2, v2):
+    both = (v1 >= 0) & (v2 >= 0)
+    return np.hypot(x1 - x2, y1 - y2)[both], both
+
+
+def _seed_from_oracle(n=150):
+    fl = klt.FeatureList.create(n)
+    ox, oy, ov = load_xyv("select_img0.xyv")
+    fl.x[:], fl.y[:], fl.val[:] = ox, oy, ov
+    return fl
+
+
+def test_track_one_step(provided_frames):
+    """img0 -> img1 from the oracle's selection."""
+    fl = _seed_from_oracle()
+    tr = klt.KLTracker(klt.TrackingConfig())
+    tr.track_features(provided_frames[0], provided_frames[1], fl)
+
+    tx, ty, tv = load_xyv("track_0_1.xyv")
+    status_agree = int((fl.val == tv).sum())
+    assert status_agree >= 148, f"status agreement {status_agree}/150"
+    d, both = _drift(fl.x, fl.y, fl.val, tx, ty, tv)
+    assert d.max() < 0.05, f"one-step drift {d.max()}"
+
+
+def _run_sequence(frames, cfg, n_features=150, replace=False):
+    """Sequential-mode loop mirroring the reference example3 storage
+    convention (frame i result stored at column i-1)."""
+    tr = klt.KLTracker(cfg)
+    fl = klt.FeatureList.create(n_features)
+    ft = klt.FeatureTable.create(len(frames), n_features)
+    tr.select_good_features(frames[0], fl)
+    ft.store_list(fl, 0)
+    for i in range(1, len(frames)):
+        tr.track_features(frames[i - 1], frames[i], fl)
+        if replace:
+            tr.replace_lost_features(frames[i], fl)
+        ft.store_list(fl, i - 1)
+    return ft
+
+
+def _compare_tables(ft, oracle, max_drift, min_status_agree):
+    n_feat, n_frames = oracle.n_features, oracle.n_frames
+    worst = 0.0
+    for fr in range(n_frames - 1):  # last column never stored
+        both = (ft.val[:, fr] >= 0) & (oracle.val[:, fr] >= 0)
+        agree = int((ft.val[:, fr] == oracle.val[:, fr]).sum())
+        assert agree >= min_status_agree, \
+            f"frame {fr}: status agreement {agree}/{n_feat}"
+        d = np.hypot(ft.x[:, fr] - oracle.x[:, fr],
+                     ft.y[:, fr] - oracle.y[:, fr])[both]
+        if len(d):
+            worst = max(worst, float(d.max()))
+    assert worst <= max_drift, f"max drift {worst} px"
+    return worst
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_GOLDEN),
+                    reason="reference goldens unavailable")
+def test_golden_sequence(provided_frames):
+    """Full 10-frame sequential run vs the committed golden table —
+    the BASELINE contract is <= 0.5 px drift."""
+    ft = _run_sequence(provided_frames,
+                       klt.TrackingConfig(sequential_mode=True))
+    oracle = read_feature_table(os.path.join(REF_GOLDEN, "features2.ft"))
+    _compare_tables(ft, oracle, max_drift=0.5, min_status_agree=145)
+
+
+def test_replacement_sequence(provided_frames):
+    ft = _run_sequence(provided_frames,
+                       klt.TrackingConfig(sequential_mode=True),
+                       replace=True)
+    oracle = read_feature_table(fixture_path("table_replace.ft"))
+    _compare_tables(ft, oracle, max_drift=0.5, min_status_agree=140)
+
+
+def test_affine_sequence(provided_frames):
+    cfg = klt.TrackingConfig(sequential_mode=True,
+                             affine_consistency_check=2)
+    ft = _run_sequence(provided_frames, cfg)
+    oracle = read_feature_table(fixture_path("table_affine.ft"))
+    _compare_tables(ft, oracle, max_drift=0.5, min_status_agree=135)
+
+
+def test_lighting_sequence(provided_frames):
+    cfg = klt.TrackingConfig(sequential_mode=True,
+                             lighting_insensitive=True)
+    ft = _run_sequence(provided_frames, cfg)
+    oracle = read_feature_table(fixture_path("table_lighting.ft"))
+    _compare_tables(ft, oracle, max_drift=0.5, min_status_agree=140)
+
+
+def test_sequential_matches_nonsequential(provided_frames):
+    """Sequential-mode pyramid caching must not change results."""
+    fl_a = _seed_from_oracle()
+    tr_a = klt.KLTracker(klt.TrackingConfig(sequential_mode=True))
+    tr_a.track_features(provided_frames[0], provided_frames[1], fl_a)
+    tr_a.track_features(provided_frames[1], provided_frames[2], fl_a)
+
+    fl_b = _seed_from_oracle()
+    tr_b = klt.KLTracker(klt.TrackingConfig())
+    tr_b.track_features(provided_frames[0], provided_frames[1], fl_b)
+    tr_b.track_features(provided_frames[1], provided_frames[2], fl_b)
+
+    np.testing.assert_array_equal(fl_a.val, fl_b.val)
+    np.testing.assert_allclose(fl_a.x, fl_b.x, atol=1e-4)
+    np.testing.assert_allclose(fl_a.y, fl_b.y, atol=1e-4)
