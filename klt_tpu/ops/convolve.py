@@ -92,6 +92,82 @@ def convolve_separable(img: jax.Array, horiz_taps: np.ndarray,
     return out
 
 
+def _conv1d_multi(img: jax.Array, taps_list: list[np.ndarray],
+                  axis: int) -> jax.Array:
+    """One H or V pass producing/consuming multiple channels in a single
+    conv op.
+
+    axis=1 (horizontal): img [H, W] -> [C, H, W], one output channel per
+    taps entry.  axis=0 (vertical): img [C, H, W] -> [C, H, W], channel i
+    convolved with taps_list[i] (grouped conv).  Kernels are zero-padded
+    to a common width — padding taps are zero so interior values are
+    bit-identical to separate passes; border zeroing still uses each
+    kernel's own radius.
+    """
+    width = max(len(t) for t in taps_list)
+    if width % 2 == 0:
+        width += 1
+    c = len(taps_list)
+    padded = np.zeros((c, width), np.float32)
+    for i, t in enumerate(taps_list):
+        off = (width - len(t)) // 2
+        padded[i, off:off + len(t)] = t[::-1]
+    radius = width // 2
+
+    if axis == 1:
+        h, w = img.shape[-2], img.shape[-1]
+        lhs = img.reshape(1, 1, h, w)
+        rhs = jnp.asarray(padded).reshape(c, 1, 1, width)
+        out = lax.conv_general_dilated(
+            lhs, rhs, (1, 1), [(0, 0), (radius, radius)],
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)
+        out = out.reshape(c, h, w)
+    else:
+        h, w = img.shape[-2], img.shape[-1]
+        lhs = img.reshape(1, c, h, w)
+        rhs = jnp.asarray(padded).reshape(c, 1, width, 1)
+        out = lax.conv_general_dilated(
+            lhs, rhs, (1, 1), [(radius, radius), (0, 0)],
+            feature_group_count=c,
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)
+        out = out.reshape(c, h, w)
+
+    # per-channel border zeroing with each kernel's own radius
+    masks = []
+    for t in taps_list:
+        r = len(t) // 2
+        masks.append(_col_mask(img.shape[-1], r) if axis == 1
+                     else _row_mask(img.shape[-2], r))
+    mask = jnp.asarray(np.stack(masks))
+    return out * mask
+
+
+def level_gradients_and_smooth(img: jax.Array, cfg,
+                               with_pyramid_smooth: bool):
+    """Fused per-level op: gradients (+ optionally the next level's
+    pre-subsample smoothing) in two conv passes instead of six.
+
+    Matches _KLTComputeGradients + _KLTComputeSmoothedImage semantics
+    (src/V1/convolve.c:273-314) bit-for-bit on the interior; the shared
+    pass zero-pads narrower kernels (padding taps contribute nothing).
+    """
+    from ..kernels import gaussian_kernels
+    gauss, deriv = gaussian_kernels(cfg.grad_sigma)
+    h_taps = [deriv, gauss]
+    v_taps = [gauss, deriv]
+    if with_pyramid_smooth:
+        gauss_p, _ = gaussian_kernels(cfg.pyramid_sigma)
+        h_taps.append(gauss_p)
+        v_taps.append(gauss_p)
+    tmp = _conv1d_multi(img, h_taps, axis=1)
+    out = _conv1d_multi(tmp, v_taps, axis=0)
+    gradx, grady = out[0], out[1]
+    smooth_next = out[2] if with_pyramid_smooth else None
+    return gradx, grady, smooth_next
+
+
 def compute_smoothed_image(img: jax.Array, sigma: float) -> jax.Array:
     """Gaussian smooth (reference: _KLTComputeSmoothedImage,
     src/V1/convolve.c:300-314)."""

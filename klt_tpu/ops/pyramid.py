@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TrackingConfig, pyramid_shapes
-from .convolve import compute_smoothed_image, compute_gradients
+from .convolve import (compute_smoothed_image, compute_gradients,
+                       level_gradients_and_smooth)
 
 
 def build_pyramid(img: jax.Array, cfg: TrackingConfig) -> list[jax.Array]:
@@ -40,10 +41,18 @@ def build_image_pyramids(img: jax.Array, cfg: TrackingConfig):
     """
     smoothed = compute_smoothed_image(img.astype(jnp.float32),
                                       cfg.smooth_sigma)
-    pyr = build_pyramid(smoothed, cfg)
-    gradx, grady = [], []
-    for lvl_img in pyr:
-        gx, gy = compute_gradients(lvl_img, cfg.grad_sigma)
+    s = cfg.subsampling
+    sh = s // 2
+    shapes = pyramid_shapes(img.shape[-1], img.shape[-2], cfg)
+
+    pyr, gradx, grady = [smoothed], [], []
+    for lvl in range(cfg.n_pyramid_levels):
+        last = lvl == cfg.n_pyramid_levels - 1
+        gx, gy, sm = level_gradients_and_smooth(pyr[lvl], cfg,
+                                                with_pyramid_smooth=not last)
         gradx.append(gx)
         grady.append(gy)
+        if not last:
+            ncols, nrows = shapes[lvl + 1]
+            pyr.append(sm[..., sh::s, sh::s][..., :nrows, :ncols])
     return pyr, gradx, grady

@@ -1,0 +1,74 @@
+"""Sharded multi-sequence batch tracking.
+
+The TPU replacement for the reference's single-device pipeline: B
+independent image sequences advance one frame-pair per step as a dense
+[B, H, W] batch, sharded over the mesh's `data` axis; each sequence's N
+features live in [B, N] arrays optionally sharded over `feat`.  Per-
+sequence tracking is embarrassingly parallel, so shardings propagate with
+no cross-device collectives on the hot path — collectives appear only in
+reductions (diagnostics, bundle adjustment) where XLA inserts them.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import TrackingConfig
+from ..ops.pyramid import build_image_pyramids
+from ..ops.lk import track_features_pyramid
+
+
+def make_pair_step(cfg: TrackingConfig):
+    """Single-sequence frame-pair tracking step (jit-able, vmap-able).
+
+    step(img1_u8[H,W], img2_u8[H,W], x[N], y[N], val[N])
+      -> (x, y, val) after tracking.
+    """
+
+    def step(img1, img2, x, y, val):
+        pyr1, gx1, gy1 = build_image_pyramids(img1, cfg)
+        pyr2, gx2, gy2 = build_image_pyramids(img2, cfg)
+        return track_features_pyramid(pyr1, gx1, gy1, pyr2, gx2, gy2,
+                                      x, y, val, cfg)
+
+    return step
+
+
+def make_batch_step(cfg: TrackingConfig, mesh: Mesh | None = None,
+                    data_axis: str = "data", feat_axis: str | None = None):
+    """Batched step over [B, ...] arrays, jitted with mesh shardings.
+
+    With a mesh, images shard over `data_axis`; feature arrays shard over
+    (data_axis, feat_axis).
+    """
+    step = jax.vmap(make_pair_step(cfg))
+    if mesh is None:
+        return jax.jit(step)
+
+    img_s = NamedSharding(mesh, P(data_axis, None, None))
+    feat_p = P(data_axis, feat_axis) if feat_axis else P(data_axis, None)
+    feat_s = NamedSharding(mesh, feat_p)
+    return jax.jit(step,
+                   in_shardings=(img_s, img_s, feat_s, feat_s, feat_s),
+                   out_shardings=(feat_s, feat_s, feat_s))
+
+
+def track_batch(frames, x, y, val, cfg: TrackingConfig,
+                mesh: Mesh | None = None, feat_axis: str | None = None):
+    """Track B sequences through T frames.
+
+    frames: uint8 [B, T, H, W]; x, y f32 [B, N]; val i32 [B, N].
+    Returns per-frame tables (xs, ys, vals) of shape [T-1, B, N].
+    """
+    step = make_batch_step(cfg, mesh, feat_axis=feat_axis)
+    xs, ys, vs = [], [], []
+    for t in range(frames.shape[1] - 1):
+        x, y, val = step(frames[:, t], frames[:, t + 1], x, y, val)
+        xs.append(x)
+        ys.append(y)
+        vs.append(val)
+    return jnp.stack(xs), jnp.stack(ys), jnp.stack(vs)

@@ -62,4 +62,5 @@ def test_batched_convolution_matches_single():
     batched = np.asarray(compute_smoothed_image(jnp.asarray(imgs), 1.0))
     for b in range(3):
         single = np.asarray(compute_smoothed_image(jnp.asarray(imgs[b]), 1.0))
-        np.testing.assert_array_equal(batched[b], single)
+        # XLA may schedule the batched conv differently -> 1-ulp noise
+        np.testing.assert_allclose(batched[b], single, atol=1e-5)

@@ -33,8 +33,9 @@ def test_gradient_impulse_matches_oracle(sigma, tag):
     g, d = gaussian_kernels(sigma)
     rg, rd = len(g) // 2, len(d) // 2
     c = 32
-    # out = convolve rows with deriv (reversed), cols with gauss (reversed)
-    expect = np.outer(g[::-1], d[::-1])
+    # impulse response of convolution (reversed-tap correlation) is the
+    # taps in natural order
+    expect = np.outer(g, d)
     got = oracle[c - rg:c + rg + 1, c - rd:c + rd + 1]
     np.testing.assert_allclose(got, expect, atol=1e-7)
 

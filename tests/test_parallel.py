@@ -1,0 +1,89 @@
+"""Multi-device mesh tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+import klt_tpu as klt
+from klt_tpu.parallel import make_mesh, make_batch_step, make_pair_step
+from conftest import load_xyv
+
+
+@pytest.fixture(scope="module")
+def devices8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+def test_make_mesh_shapes(devices8):
+    m = make_mesh({"data": 4, "feat": 2})
+    assert m.shape == {"data": 4, "feat": 2}
+    m = make_mesh({"data": -1})
+    assert m.shape == {"data": 8}
+    with pytest.raises(ValueError):
+        make_mesh({"data": 3})
+
+
+def test_batched_step_matches_single(provided_frames):
+    """vmapped batch step == per-sequence step."""
+    cfg = klt.TrackingConfig()
+    ox, oy, ov = load_xyv("select_img0.xyv")
+    n = 64
+    x = np.stack([ox[:n], ox[:n] + 1.0]).astype(np.float32)
+    y = np.stack([oy[:n], oy[:n]]).astype(np.float32)
+    v = np.stack([ov[:n], ov[:n]]).astype(np.int32)
+    img1 = np.stack([provided_frames[0], provided_frames[1]])
+    img2 = np.stack([provided_frames[1], provided_frames[2]])
+
+    batch = make_batch_step(cfg)
+    xb, yb, vb = batch(img1, img2, x, y, v)
+
+    single = jax.jit(make_pair_step(cfg))
+    for b in range(2):
+        xs, ys, vs = single(img1[b], img2[b], x[b], y[b], v[b])
+        np.testing.assert_allclose(np.asarray(xb[b]), np.asarray(xs),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(vb[b]), np.asarray(vs))
+
+
+def test_sharded_batch_step(devices8, provided_frames):
+    """Mesh-sharded batch step executes and matches unsharded results."""
+    cfg = klt.TrackingConfig()
+    mesh = make_mesh({"data": 4, "feat": 2})
+    ox, oy, ov = load_xyv("select_img0.xyv")
+    n = 64
+    b = 8
+    rng = np.random.RandomState(0)
+    x = np.stack([ox[:n] + rng.uniform(-1, 1, n) for _ in range(b)])
+    x = x.astype(np.float32)
+    y = np.tile(oy[:n], (b, 1)).astype(np.float32)
+    v = np.tile(ov[:n], (b, 1)).astype(np.int32)
+    img1 = np.stack([provided_frames[i % 9] for i in range(b)])
+    img2 = np.stack([provided_frames[i % 9 + 1] for i in range(b)])
+
+    sharded = make_batch_step(cfg, mesh, feat_axis="feat")
+    xs, ys, vs = sharded(img1, img2, x, y, v)
+    plain = make_batch_step(cfg)
+    xp, yp, vp = plain(img1, img2, x, y, v)
+
+    np.testing.assert_array_equal(np.asarray(vs), np.asarray(vp))
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xp), atol=1e-3)
+
+
+def test_graft_entry_dryrun(devices8):
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert out[0].shape == args[2].shape
+
+    mod.dryrun_multichip(8)
