@@ -37,8 +37,15 @@ def build_image_pyramids(img: jax.Array, cfg: TrackingConfig):
 
     Applies the pre-smoothing step the tracker uses
     (reference: src/V1/trackFeatures.c:1296-1308) and computes per-level
-    gradients with grad_sigma.
+    gradients with grad_sigma.  Dispatches to the fused Pallas kernel on
+    TPU when the frame fits in VMEM; the jnp path below is the semantic
+    oracle and fallback.
     """
+    from ..pallas import pallas_enabled
+    if pallas_enabled():
+        from ..pallas.pyramid import supported, fused_build_image_pyramids
+        if supported(img.shape, cfg):
+            return fused_build_image_pyramids(img, cfg)
     smoothed = compute_smoothed_image(img.astype(jnp.float32),
                                       cfg.smooth_sigma)
     s = cfg.subsampling

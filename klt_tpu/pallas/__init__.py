@@ -1,0 +1,19 @@
+"""Pallas TPU kernels for the hot ops (the V3-CUDA role, re-thought).
+
+Each kernel has a pure-jnp oracle in klt_tpu/ops; the dispatchers there
+pick the Pallas path on TPU when shapes fit in VMEM and fall back to the
+XLA path otherwise (and under `KLT_TPU_NO_PALLAS=1`).
+"""
+
+import os
+
+
+def pallas_enabled() -> bool:
+    """True when Pallas kernels should be used on the current backend."""
+    if os.environ.get("KLT_TPU_NO_PALLAS", "0") == "1":
+        return False
+    import jax
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:
+        return False

@@ -1,0 +1,161 @@
+"""Fused Gaussian-pyramid + gradient kernels (Pallas TPU).
+
+One kernel call per pyramid level builds everything the tracker needs at
+that level — float conversion, pre-smoothing, both gradient maps, and
+the next level's pre-decimation smoothing — entirely VMEM-resident, with
+the separable convolutions tap-unrolled into shift-FMA loops on the VPU
+(f32 all the way: no bf16 rounding on the accuracy-critical path).  The
+only work left to XLA is the strided decimation between levels (Mosaic
+has no strided vector slices).
+
+This is the TPU analogue of the reference's V3 device-resident pyramid
+chain (src/V3/pyramidGPU.cu:186-235 + tiled convolutions
+src/V3/convolveGPU.cu:139-254), collapsed from ~10 kernel launches per
+frame to one per level.
+
+Semantics match klt_tpu/ops/convolve.py (and therefore the C reference,
+src/V1/convolve.c:137-242): taps applied in reversed order, output
+borders inside each kernel radius ZEROED, vertical pass consuming the
+horizontally-zeroed intermediate, decimation by `subsampling` at offset
+`subsampling // 2` (src/V1/pyramid.c:117-124).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import TrackingConfig, pyramid_shapes
+from ..kernels import gaussian_kernels
+
+# VMEM budget gate: a level kernel holds ~5 live [H, W] f32 buffers.
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+_LIVE_BUFFERS = 6
+
+
+def _iota_mask(h, w, radius, axis):
+    """bool [h, w] mask: False within `radius` of either end along axis."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), axis)
+    n = w if axis == 1 else h
+    return (idx >= radius) & (idx < n - radius)
+
+
+def _hconv(x, taps):
+    """Horizontal pass: out[y, i] = sum_d x[y, i+d] * tap[r-d], borders
+    zeroed (src/V1/convolve.c:137-182)."""
+    width = len(taps)
+    r = width // 2
+    h, w = x.shape
+    pad = jnp.pad(x, ((0, 0), (r, r)))
+    acc = pad[:, 0:w] * taps[width - 1]
+    for k in range(1, width):
+        # offset d = k - r uses tap[r - d] = taps[width - 1 - k]
+        acc = acc + pad[:, k:k + w] * taps[width - 1 - k]
+    return jnp.where(_iota_mask(h, w, r, 1), acc, 0.0)
+
+
+def _vconv(x, taps):
+    """Vertical pass with zeroed borders (src/V1/convolve.c:189-242)."""
+    width = len(taps)
+    r = width // 2
+    h, w = x.shape
+    pad = jnp.pad(x, ((r, r), (0, 0)))
+    acc = pad[0:h, :] * taps[width - 1]
+    for k in range(1, width):
+        acc = acc + pad[k:k + h, :] * taps[width - 1 - k]
+    return jnp.where(_iota_mask(h, w, r, 0), acc, 0.0)
+
+
+def _sep(x, htaps, vtaps):
+    return _vconv(_hconv(x, htaps), vtaps)
+
+
+def _taps(cfg: TrackingConfig):
+    g_s, _ = gaussian_kernels(cfg.smooth_sigma)
+    g_g, d_g = gaussian_kernels(cfg.grad_sigma)
+    g_p, _ = gaussian_kernels(cfg.pyramid_sigma)
+    tup = lambda a: tuple(float(t) for t in a)
+    return tup(g_s), tup(g_g), tup(d_g), tup(g_p)
+
+
+@functools.lru_cache(maxsize=32)
+def _level_call(h: int, w: int, cfg: TrackingConfig, first: bool,
+                with_smooth: bool, in_dtype_name: str):
+    """Pallas call for one level: [level image] -> gx, gy (+ presmoothed
+    level image when `first`, + next-level smoothing when `with_smooth`)."""
+    g_s, g_g, d_g, g_p = _taps(cfg)
+
+    def kernel(img_ref, *out_refs):
+        f = img_ref[:]
+        if f.dtype != jnp.float32:
+            # Mosaic can't cast uint8 -> f32 directly; hop through int32.
+            f = f.astype(jnp.int32).astype(jnp.float32)
+        i = 0
+        if first:
+            # pre-smoothing (reference: src/V1/trackFeatures.c:1296-1302)
+            f = _sep(f, g_s, g_s)
+            out_refs[i][:] = f
+            i += 1
+        tmp_d = _hconv(f, d_g)
+        tmp_g = _hconv(f, g_g)
+        out_refs[i][:] = _vconv(tmp_d, g_g)     # gradx
+        out_refs[i + 1][:] = _vconv(tmp_g, d_g)  # grady
+        if with_smooth:
+            out_refs[i + 2][:] = _sep(f, g_p, g_p)
+
+    n_out = 2 + int(first) + int(with_smooth)
+    out_shape = [jax.ShapeDtypeStruct((h, w), jnp.float32)] * n_out
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out,
+    )
+
+
+def supported(img_shape, cfg: TrackingConfig) -> bool:
+    h, w = img_shape[-2], img_shape[-1]
+    if h * w * 4 * _LIVE_BUFFERS > _VMEM_BUDGET_BYTES:
+        return False
+    shapes = pyramid_shapes(w, h, cfg)
+    if min(shapes[-1]) < 2:
+        return False
+    return True
+
+
+def fused_build_image_pyramids(img: jax.Array, cfg: TrackingConfig):
+    """Drop-in Pallas replacement for ops.pyramid.build_image_pyramids.
+
+    img: uint8/f32 [H, W].  Returns (pyr, gradx, grady) finest-first lists.
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    shapes = pyramid_shapes(w, h, cfg)
+    nlev = cfg.n_pyramid_levels
+    s = cfg.subsampling
+    sh = s // 2
+
+    pyr, gradx, grady = [], [], []
+    level = img
+    for lvl in range(nlev):
+        first = lvl == 0
+        with_smooth = lvl < nlev - 1
+        lh, lw = (shapes[lvl][1], shapes[lvl][0])
+        call = _level_call(lh, lw, cfg, first, with_smooth,
+                           str(level.dtype))
+        outs = call(level)
+        i = 0
+        if first:
+            level = outs[0]
+            i = 1
+        pyr.append(level)
+        gradx.append(outs[i])
+        grady.append(outs[i + 1])
+        if with_smooth:
+            sm = outs[i + 2]
+            ncols, nrows = shapes[lvl + 1]
+            level = sm[sh::s, sh::s][:nrows, :ncols]
+    return pyr, gradx, grady
