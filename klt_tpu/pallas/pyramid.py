@@ -82,6 +82,63 @@ def _taps(cfg: TrackingConfig):
     return tup(g_s), tup(g_g), tup(d_g), tup(g_p)
 
 
+def _decimate(x, h_out, w_out, s, sh):
+    """Strided decimation x[sh::s, sh::s][:h_out, :w_out] as two one-hot
+    f32 matmuls (Mosaic has no strided slices; a 0/1 f32 matmul on the
+    MXU is bit-exact selection)."""
+    h, w = x.shape
+    ri = jax.lax.broadcasted_iota(jnp.int32, (h_out, h), 0)
+    rj = jax.lax.broadcasted_iota(jnp.int32, (h_out, h), 1)
+    rsel = (rj == ri * s + sh).astype(jnp.float32)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (w, w_out), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (w, w_out), 1)
+    csel = (ci == cj * s + sh).astype(jnp.float32)
+    band = jnp.dot(rsel, x, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+    return jnp.dot(band, csel, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+
+
+@functools.lru_cache(maxsize=32)
+def _fused_call(h: int, w: int, cfg: TrackingConfig, in_dtype_name: str):
+    """One Pallas call building the whole pyramid: presmooth + per-level
+    gradients + inter-level smooth/decimate, all VMEM-resident."""
+    g_s, g_g, d_g, g_p = _taps(cfg)
+    from ..config import pyramid_shapes
+    shapes = pyramid_shapes(w, h, cfg)
+    nlev = cfg.n_pyramid_levels
+    s = cfg.subsampling
+    sh = s // 2
+
+    def kernel(img_ref, *out_refs):
+        pyr_refs = out_refs[:nlev]
+        gx_refs = out_refs[nlev:2 * nlev]
+        gy_refs = out_refs[2 * nlev:]
+        f = img_ref[:]
+        if f.dtype != jnp.float32:
+            f = f.astype(jnp.int32).astype(jnp.float32)
+        level = _sep(f, g_s, g_s)  # pre-smoothing (trackFeatures.c:1296)
+        for lvl in range(nlev):
+            pyr_refs[lvl][:] = level
+            tmp_d = _hconv(level, d_g)
+            tmp_g = _hconv(level, g_g)
+            gx_refs[lvl][:] = _vconv(tmp_d, g_g)
+            gy_refs[lvl][:] = _vconv(tmp_g, d_g)
+            if lvl < nlev - 1:
+                sm = _sep(level, g_p, g_p)
+                ncols, nrows = shapes[lvl + 1]
+                level = _decimate(sm, nrows, ncols, s, sh)
+
+    out_shape = [jax.ShapeDtypeStruct((r, c), jnp.float32)
+                 for (c, r) in shapes] * 3
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 * nlev),
+    )
+
+
 @functools.lru_cache(maxsize=32)
 def _level_call(h: int, w: int, cfg: TrackingConfig, first: bool,
                 with_smooth: bool, in_dtype_name: str):
@@ -133,29 +190,8 @@ def fused_build_image_pyramids(img: jax.Array, cfg: TrackingConfig):
     img: uint8/f32 [H, W].  Returns (pyr, gradx, grady) finest-first lists.
     """
     h, w = img.shape[-2], img.shape[-1]
-    shapes = pyramid_shapes(w, h, cfg)
     nlev = cfg.n_pyramid_levels
-    s = cfg.subsampling
-    sh = s // 2
-
-    pyr, gradx, grady = [], [], []
-    level = img
-    for lvl in range(nlev):
-        first = lvl == 0
-        with_smooth = lvl < nlev - 1
-        lh, lw = (shapes[lvl][1], shapes[lvl][0])
-        call = _level_call(lh, lw, cfg, first, with_smooth,
-                           str(level.dtype))
-        outs = call(level)
-        i = 0
-        if first:
-            level = outs[0]
-            i = 1
-        pyr.append(level)
-        gradx.append(outs[i])
-        grady.append(outs[i + 1])
-        if with_smooth:
-            sm = outs[i + 2]
-            ncols, nrows = shapes[lvl + 1]
-            level = sm[sh::s, sh::s][:nrows, :ncols]
-    return pyr, gradx, grady
+    call = _fused_call(h, w, cfg, str(img.dtype))
+    outs = call(img)
+    return (list(outs[:nlev]), list(outs[nlev:2 * nlev]),
+            list(outs[2 * nlev:]))
