@@ -188,6 +188,82 @@ def _track_level_gather(stack1, stack2, x1, y1, x2, y2, active,
     return x2f, y2f, status, iters
 
 
+KERNEL_PATCH = 16  # patch side for the Pallas level kernel
+
+
+def _pack_patches(p):
+    """[F, C, ny, nx] -> [F, ny, C*nx] channel-block lane packing."""
+    f, c, ny, nx = p.shape
+    return p.transpose(0, 2, 1, 3).reshape(f, ny, c * nx)
+
+
+def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
+                        cfg: TrackingConfig):
+    """track_level with the whole Newton loop in one Pallas kernel per
+    anchor round (klt_tpu/pallas/lk.py).  Semantics mirror the fast
+    path below; the outer re-anchor loop stays in XLA."""
+    from ..pallas.lk import lk_level_inner
+
+    w, h = cfg.window_width, cfg.window_height
+    hw, hh = np.float32(w // 2), np.float32(h // 2)
+    hwi, hhi = w // 2, h // 2
+    k = KERNEL_PATCH
+    nr, nc = stack1.shape[-2], stack1.shape[-1]
+    ncf, nrf = np.float32(nc), np.float32(nr)
+    margin = (k - (h + 1)) // 2
+    n = x1.shape[0]
+
+    col = lambda v: v[:, None]  # [F] -> [F, 1]
+
+    # first-image raw windows (integer corner, fixed for the level)
+    xt1 = x1.astype(jnp.int32)
+    yt1 = y1.astype(jnp.int32)
+    ax1 = x1 - xt1.astype(jnp.float32)
+    ay1 = y1 - yt1.astype(jnp.float32)
+    x10 = jnp.clip(xt1 - hwi, 0, nc - (w + 1))
+    y10 = jnp.clip(yt1 - hhi, 0, nr - (h + 1))
+    p1w = _pack_patches(onehot_extract(stack1, y10, x10, h + 1, w + 1))
+    oob1 = _window_oob(x1, y1, hw, hh, ncf, nrf)
+
+    def anchors(x2c, y2c):
+        py0 = jnp.clip(y2c.astype(jnp.int32) - hhi - margin, 0, nr - k)
+        px0 = jnp.clip(x2c.astype(jnp.int32) - hwi - margin, 0, nc - k)
+        return py0, px0
+
+    status0 = jnp.full(x2.shape, TRACKED, jnp.int32)
+    iters0 = jnp.zeros(x2.shape, jnp.int32)
+    done0 = (~active).astype(jnp.int32)
+    res0 = jnp.zeros(x2.shape, jnp.float32)
+
+    def outer(state):
+        rounds, x2c, y2c, status, iters, done, _ = state
+        py0, px0 = anchors(x2c, y2c)
+        p2 = _pack_patches(onehot_extract(stack2, py0, px0, k, k))
+        outs = lk_level_inner(
+            p1w, p2, col(px0.astype(jnp.float32)),
+            col(py0.astype(jnp.float32)), col(ax1), col(ay1),
+            col(oob1.astype(jnp.int32)), col(x2c), col(y2c),
+            col(status), col(iters), col(done), cfg, k, nc, nr)
+        x2n, y2n, stn, itn, dnn, _, resn = outs
+        return (rounds + 1, x2n[:, 0], y2n[:, 0], stn[:, 0], itn[:, 0],
+                dnn[:, 0], resn[:, 0])
+
+    def outer_going(state):
+        rounds, done = state[0], state[5]
+        return jnp.any(done == 0) & (rounds < cfg.max_iterations + 2)
+
+    _, x2f, y2f, status, iters, _, residue = jax.lax.while_loop(
+        outer_going, outer,
+        (jnp.int32(0), x2, y2, status0, iters0, done0, res0))
+
+    status = _final_status(status, iters, x2f, y2f, residue, hw, hh,
+                           ncf, nrf, cfg)
+    x2f = jnp.where(active, x2f, x2)
+    y2f = jnp.where(active, y2f, y2)
+    status = jnp.where(active, status, TRACKED)
+    return x2f, y2f, status, iters
+
+
 def track_level(stack1, stack2, x1, y1, x2, y2, active,
                 cfg: TrackingConfig):
     """One pyramid level of batched LK — patch-resident fast path.
@@ -200,6 +276,12 @@ def track_level(stack1, stack2, x1, y1, x2, y2, active,
     nr, nc = stack1.shape[-2], stack1.shape[-1]
     if min(nr, nc) < max(h, w) + 2:
         return _track_level_gather(stack1, stack2, x1, y1, x2, y2,
+                                   active, cfg)
+
+    from ..pallas import pallas_enabled
+    if (pallas_enabled() and min(nr, nc) >= KERNEL_PATCH
+            and max(h, w) + 1 <= KERNEL_PATCH - 2):
+        return _track_level_kernel(stack1, stack2, x1, y1, x2, y2,
                                    active, cfg)
 
     hw, hh = np.float32(w // 2), np.float32(h // 2)
