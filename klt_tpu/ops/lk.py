@@ -233,20 +233,24 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
     status0 = jnp.full(x2.shape, TRACKED, jnp.int32)
     iters0 = jnp.zeros(x2.shape, jnp.int32)
     done0 = (~active).astype(jnp.int32)
-    res0 = jnp.zeros(x2.shape, jnp.float32)
+    res0 = jnp.zeros((x2.shape[0], 1), jnp.float32)
+    oob1_i = col(oob1.astype(jnp.int32))
+    ax1c, ay1c = col(ax1), col(ay1)
 
     def outer(state):
         rounds, x2c, y2c, status, iters, done, _ = state
         py0, px0 = anchors(x2c, y2c)
         p2 = _pack_patches(onehot_extract(stack2, py0, px0, k, k))
-        outs = lk_level_inner(
-            p1w, p2, col(px0.astype(jnp.float32)),
-            col(py0.astype(jnp.float32)), col(ax1), col(ay1),
-            col(oob1.astype(jnp.int32)), col(x2c), col(y2c),
-            col(status), col(iters), col(done), cfg, k, nc, nr)
-        x2n, y2n, stn, itn, dnn, _, resn = outs
-        return (rounds + 1, x2n[:, 0], y2n[:, 0], stn[:, 0], itn[:, 0],
-                dnn[:, 0], resn[:, 0])
+        fstate = jnp.concatenate(
+            [col(x2c), col(y2c), ax1c, ay1c,
+             col(px0.astype(jnp.float32)), col(py0.astype(jnp.float32))],
+            axis=1)
+        istate = jnp.concatenate(
+            [col(status), col(iters), col(done), oob1_i], axis=1)
+        fout, iout, resn = lk_level_inner(p1w, p2, fstate, istate,
+                                          cfg, k, nc, nr)
+        return (rounds + 1, fout[:, 0], fout[:, 1], iout[:, 0],
+                iout[:, 1], iout[:, 2], resn)
 
     def outer_going(state):
         rounds, done = state[0], state[5]
@@ -255,6 +259,7 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
     _, x2f, y2f, status, iters, _, residue = jax.lax.while_loop(
         outer_going, outer,
         (jnp.int32(0), x2, y2, status0, iters0, done0, res0))
+    residue = residue[:, 0]
 
     status = _final_status(status, iters, x2f, y2f, residue, hw, hh,
                            ncf, nrf, cfg)

@@ -12,8 +12,16 @@ def pallas_enabled() -> bool:
     """True when Pallas kernels should be used on the current backend."""
     if os.environ.get("KLT_TPU_NO_PALLAS", "0") == "1":
         return False
+    if interpret_mode():
+        return True
     import jax
     try:
         return jax.default_backend() in ("tpu", "axon")
     except RuntimeError:
         return False
+
+
+def interpret_mode() -> bool:
+    """Run kernels in Pallas interpret mode (CPU testing of kernel
+    logic; set KLT_TPU_PALLAS_INTERPRET=1)."""
+    return os.environ.get("KLT_TPU_PALLAS_INTERPRET", "0") == "1"

@@ -1,27 +1,28 @@
 """Batched Lucas-Kanade Newton loop as one Pallas TPU kernel per level.
 
 The TPU analogue of the reference's V3 per-feature device tracker
-(trackFeaturesKernel, src/V3/trackFeaturesGPUcu:191-281), re-thought for
+(trackFeaturesKernel, src/V3/trackFeaturesGPU.cu:191-281), re-thought for
 vector lanes instead of CUDA blocks: all F features advance together,
 one kernel invocation runs the ENTIRE masked Newton iteration loop of
 one pyramid level in VMEM.  This removes the dominant costs of the XLA
 formulation — per-iteration HLO op overhead and batched tiny einsums —
-measured at ~34 us/iteration on a v5e; the in-kernel iteration is ~3 us.
+measured at ~34 us/iteration on a v5e; the in-kernel iteration is a few
+microseconds.
 
 Data layout (chosen for the Mosaic constraints of this toolchain: no
-gathers, no dynamic lane indexing, no dynamic-shift rolls):
+gathers, no dynamic lane indexing, no dynamic-shift rolls, no bool loop
+carries, no multi-axis reductions, no rank-1 vectors):
 * per-feature patches `[F, K, 3*K]` f32 — K x K-pixel patches with the
   3 channels (intensity, gradx, grady) as contiguous K-lane blocks;
   extracted once per anchor round by the XLA-side one-hot matmuls
   (ops/interp.onehot_extract) and re-anchored only when a feature's
   Newton trajectory leaves its patch margin;
-* window sampling inside the kernel is a 9-term masked sum over the
-  possible integer offsets (a static unroll — each term is a static
-  slice + compare + FMA on the VPU), followed by the 4-term bilinear
-  blend; no dynamic addressing anywhere;
-* per-feature scalars (positions, statuses, masks) live as `[F, 1]`
-  f32/i32 vectors; reductions over the window produce `[F, 1]` directly
-  so no transposes are needed.
+* window sampling inside the kernel is a static unroll over the
+  possible integer offsets: masked adds over row slices, then masked
+  adds over static lane rolls (circular wrap only touches lanes beyond
+  each channel's window, which are never read);
+* per-feature scalars travel packed: one `[F, 8]` f32 and one `[F, 4]`
+  i32 operand, cutting custom-call staging from 12 operands to 4.
 
 Semantics are identical to ops/lk.py's patch-resident fast path (which
 is itself validated against the C reference's _trackFeature,
@@ -39,71 +40,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import TrackingConfig, TRACKED, SMALL_DET, MAX_ITERATIONS, \
-    OOB, LARGE_RESIDUE
+from ..config import TrackingConfig, TRACKED, SMALL_DET, OOB
 
 _EPS = np.float32(1.001)  # reference: src/V1/trackFeatures.c:409
 
-
-def _select_window(patch, oy, ox, h, w, k):
-    """[F, h+1, 3*(w+1)] raw window at integer in-patch offsets.
-
-    patch: [F, K, 3K]; oy, ox: [F, 1] i32 in [0, K-(h+1)] / [0, K-(w+1)].
-    A static unroll per axis: term s contributes where oy == s.
-    Returns rows [oy, oy+h+1) and, per channel block, pixels
-    [ox, ox+w+1) — enough for the +1 bilinear shifts.
-    """
-    f = patch.shape[0]
-    hh = h + 1
-    ww = w + 1
-    n_oy = k - hh + 1
-    n_ox = k - ww + 1
-    oy3 = oy[:, :, None]
-    ox3 = ox[:, :, None]
-
-    rows = jnp.zeros((f, hh, 3 * k), jnp.float32)
-    for s in range(n_oy):
-        m = (oy3 == s).astype(jnp.float32)
-        rows = rows + m * patch[:, s:s + hh, :]
-
-    win = jnp.zeros((f, hh, 3 * ww), jnp.float32)
-    for t in range(n_ox):
-        m = (ox3 == t).astype(jnp.float32)
-        sl = jnp.concatenate(
-            [rows[:, :, c * k + t:c * k + t + ww] for c in range(3)],
-            axis=2)
-        win = win + m * sl
-    return win  # [F, h+1, 3*(w+1)]
-
-
-def _blend(win, ax, ay, h, w):
-    """Bilinear blend of the raw (h+1)x(w+1)-px window -> per-channel
-    [F, h, w] stacks (g, gx, gy).  ax, ay: [F, 1] fractional parts."""
-    ww = w + 1
-    ax3 = ax[:, :, None]
-    ay3 = ay[:, :, None]
-
-    def px(dr, dc):
-        return jnp.concatenate(
-            [win[:, dr:dr + h, c * ww + dc:c * ww + dc + w]
-             for c in range(3)], axis=2)
-
-    p00 = px(0, 0)
-    p01 = px(0, 1)
-    p10 = px(1, 0)
-    p11 = px(1, 1)
-    out = ((1 - ax3) * (1 - ay3) * p00 + ax3 * (1 - ay3) * p01 +
-           (1 - ax3) * ay3 * p10 + ax3 * ay3 * p11)  # [F, h, 3w]
-    return out[:, :, 0:w], out[:, :, w:2 * w], out[:, :, 2 * w:3 * w]
+# packed f32 state columns
+FX2, FY2, FAX1, FAY1, FA2X, FA2Y = range(6)
+# packed i32 state columns
+ISTATUS, IITERS, IDONE, IOOB1 = range(4)
 
 
 def _wsum(x):
-    """Window reduction [F, h, w] -> [F, 1] f32.
-
-    Two single-axis sums (this toolchain's Mosaic crashes on multi-axis
-    reductions), never materializing a 1-D array."""
-    s2 = jnp.sum(x, axis=2, keepdims=True)       # [F, h, 1]
-    return jnp.sum(s2[:, :, 0], axis=1, keepdims=True)  # [F, 1]
+    """Window reduction [F, h, w] -> [F, 1] f32 (two single-axis sums —
+    this Mosaic crashes on multi-axis reductions and rank-1 vectors)."""
+    s2 = jnp.sum(x, axis=2, keepdims=True)
+    return jnp.sum(s2[:, :, 0], axis=1, keepdims=True)
 
 
 def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int):
@@ -115,14 +66,35 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int):
     area = np.float32(w * h)
     step = np.float32(cfg.step_factor)
     min_det = np.float32(cfg.min_determinant)
-    max_res = np.float32(cfg.max_residue)
     max_iter = cfg.max_iterations
     lighting = cfg.lighting_insensitive
-    n_off = k - (w + 1) + 1  # valid in-patch offsets
+    n_off = k - (w + 1) + 1  # valid in-patch offsets per axis
 
     def window_oob(x, y):
         return ((x - hw < 0.0) | (ncf - (x + hw) < _EPS) |
                 (y - hh < 0.0) | (nrf - (y + hh) < _EPS))
+
+    def chan(win, c, dr, dc):
+        """[F, h, w] window slice of channel c at bilinear shift (dr, dc)
+        from a [F, h+1, 3*(w+1)] (or wider) raw window."""
+        return win[:, dr:dr + h, c * k + dc:c * k + dc + w]
+
+    def chan_small(win, c, dr, dc):
+        """Same, but from the compact [F, h+1, 3*(w+1)] first-image
+        window whose channel blocks are (w+1) wide."""
+        return win[:, dr:dr + h, c * (w + 1) + dc:c * (w + 1) + dc + w]
+
+    def blend(win, ax, ay, cget):
+        """Bilinear blend -> (g, gx, gy) each [F, h, w]."""
+        ax3 = ax[:, :, None]
+        ay3 = ay[:, :, None]
+        outs = []
+        for c in range(3):
+            outs.append((1 - ax3) * (1 - ay3) * cget(win, c, 0, 0) +
+                        ax3 * (1 - ay3) * cget(win, c, 0, 1) +
+                        (1 - ax3) * ay3 * cget(win, c, 1, 0) +
+                        ax3 * ay3 * cget(win, c, 1, 1))
+        return outs
 
     def gain_bias_diff(g1, g2):
         mean1 = _wsum(g1 * g1) / area
@@ -133,41 +105,47 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int):
         beta = m1 - alpha * m2
         return g1 - g2 * alpha[:, :, None] - beta[:, :, None]
 
-    def kernel(p1w_ref, p2_ref, a2x_ref, a2y_ref, ax1_ref, ay1_ref,
-               oob1_ref, x2_ref, y2_ref, st_ref, it_ref, dn_ref,
-               x2o, y2o, sto, ito, dno, stallo, reso):
+    def kernel(p1w_ref, p2_ref, fs_ref, is_ref, fso, iso, reso):
         p2 = p2_ref[:]
-        a2x = a2x_ref[:]
-        a2y = a2y_ref[:]
-        oob1 = oob1_ref[:] != 0
+        fs = fs_ref[:]
+        a2x = fs[:, FA2X:FA2X + 1]
+        a2y = fs[:, FA2Y:FA2Y + 1]
+        a2xi = a2x.astype(jnp.int32)
+        a2yi = a2y.astype(jnp.int32)
+        oob1 = is_ref[:, IOOB1:IOOB1 + 1] != 0
 
-        # first-image windows: fixed integer corner, blend once
-        g1, gx1w, gy1w = _blend(p1w_ref[:], ax1_ref[:], ay1_ref[:], h, w)
+        g1, gx1w, gy1w = blend(p1w_ref[:], fs[:, FAX1:FAX1 + 1],
+                               fs[:, FAY1:FAY1 + 1], chan_small)
 
-        def offsets(x2c, y2c):
+        def sample(x2c, y2c):
             xt = x2c.astype(jnp.int32)
             yt = y2c.astype(jnp.int32)
             ax = x2c - xt.astype(jnp.float32)
             ay = y2c - yt.astype(jnp.float32)
-            ox = xt - hwi - a2x.astype(jnp.int32)
-            oy = yt - hhi - a2y.astype(jnp.int32)
+            ox = xt - hwi - a2xi
+            oy = yt - hhi - a2yi
             ovf = ((ox < 0) | (ox > n_off - 1) |
                    (oy < 0) | (oy > n_off - 1))
-            ox = jnp.clip(ox, 0, n_off - 1)
-            oy = jnp.clip(oy, 0, n_off - 1)
-            return oy, ox, ay, ax, ovf
+            ox3 = jnp.clip(ox, 0, n_off - 1)[:, :, None]
+            oy3 = jnp.clip(oy, 0, n_off - 1)[:, :, None]
 
-        def sample(x2c, y2c):
-            oy, ox, ay, ax, ovf = offsets(x2c, y2c)
-            win = _select_window(p2, oy, ox, h, w, k)
-            g2, gx2w, gy2w = _blend(win, ax, ay, h, w)
+            rows = jnp.zeros((f, h + 1, 3 * k), jnp.float32)
+            for s in range(n_off):
+                m = (oy3 == s).astype(jnp.float32)
+                rows = rows + m * p2[:, s:s + h + 1, :]
+            # column select: static lane rolls; circular wrap only
+            # reaches lanes >= 3K - n_off, which blend never reads
+            win = jnp.zeros((f, h + 1, 3 * k), jnp.float32)
+            for t in range(n_off):
+                m = (ox3 == t).astype(jnp.float32)
+                sl = rows if t == 0 else pltpu.roll(rows, 3 * k - t, 2)
+                win = win + m * sl
+            g2, gx2w, gy2w = blend(win, ax, ay, chan)
             return g2, gx2w, gy2w, ovf
 
         def newton(g2, gx2w, gy2w):
             if lighting:
                 diff = gain_bias_diff(g1, g2)
-                # gain from plain means (reference's misnamed
-                # accumulators, src/V1/trackFeatures.c:180-220)
                 alpha = jnp.sqrt((_wsum(g1) / area) /
                                  (_wsum(g2) / area))[:, :, None]
                 gradx = gx1w + gx2w * alpha
@@ -189,7 +167,6 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int):
             return dx, dy, small
 
         def body(state):
-            # done carried as int32 (Mosaic: no bool vectors in carries)
             x2c, y2c, status, iters, done_i, _ = state
             done = done_i != 0
             oob = oob1 | window_oob(x2c, y2c)
@@ -217,27 +194,25 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int):
             done_i, stalled = state[4], state[5]
             return jnp.any(done_i == 0) & (stalled == 0)
 
-        x2f, y2f, status, iters, done_i, stalled = jax.lax.while_loop(
+        x2f, y2f, status, iters, done_i, _ = jax.lax.while_loop(
             going, body,
-            (x2_ref[:], y2_ref[:], st_ref[:], it_ref[:],
-             dn_ref[:], jnp.int32(0)))
-        done = done_i != 0
+            (fs[:, FX2:FX2 + 1], fs[:, FY2:FY2 + 1],
+             is_ref[:, ISTATUS:ISTATUS + 1], is_ref[:, IITERS:IITERS + 1],
+             is_ref[:, IDONE:IDONE + 1], jnp.int32(0)))
 
-        # residue at the final position from the (clamped) patch —
-        # only consumed for lanes that are done and in-patch
-        g2, _, _, ovf_r = sample(x2f, y2f)
+        # residue at final position from the (clamped) patch — consumed
+        # only for TRACKED lanes, whose last step was < min_displacement
+        g2, _, _, _ = sample(x2f, y2f)
         if lighting:
             diff = gain_bias_diff(g1, g2)
         else:
             diff = g1 - g2
         res = _wsum(jnp.abs(diff)) / area
 
-        x2o[:] = x2f
-        y2o[:] = y2f
-        sto[:] = status
-        ito[:] = iters
-        dno[:] = done.astype(jnp.int32)
-        stallo[:] = (~done).astype(jnp.int32)  # lanes needing re-anchor
+        fso[:] = jnp.concatenate([x2f, y2f], axis=1)
+        iso[:] = jnp.concatenate(
+            [status, iters, done_i, (done_i == 0).astype(jnp.int32)],
+            axis=1)
         reso[:] = res
 
     return kernel
@@ -245,32 +220,30 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int):
 
 @functools.lru_cache(maxsize=64)
 def _inner_call(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int):
-    w, h = cfg.window_width, cfg.window_height
+    from . import interpret_mode
     kernel = _make_kernel(cfg, k, nc, nr, f)
-    fvec_f32 = jax.ShapeDtypeStruct((f, 1), jnp.float32)
-    fvec_i32 = jax.ShapeDtypeStruct((f, 1), jnp.int32)
     return pl.pallas_call(
         kernel,
-        out_shape=[fvec_f32, fvec_f32, fvec_i32, fvec_i32, fvec_i32,
-                   fvec_i32, fvec_f32],
+        out_shape=[jax.ShapeDtypeStruct((f, 2), jnp.float32),
+                   jax.ShapeDtypeStruct((f, 4), jnp.int32),
+                   jax.ShapeDtypeStruct((f, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret_mode(),
     )
 
 
-def lk_level_inner(p1w, p2, a2x, a2y, ax1, ay1, oob1, x2, y2, status,
-                   iters, done, cfg: TrackingConfig, k: int,
+def lk_level_inner(p1w, p2, fstate, istate, cfg: TrackingConfig, k: int,
                    nc: int, nr: int):
     """Run the masked Newton loop for one level on resident patches.
 
     p1w: [F, h+1, 3*(w+1)] first-image raw windows; p2: [F, K, 3K]
-    second-image patches; a2*: [F, 1] f32 patch anchors; ax1/ay1: [F, 1]
-    first-image fractional parts; oob1/done: [F, 1] i32 flags; x2/y2:
-    [F, 1] f32; status/iters: [F, 1] i32.
+    second-image patches; fstate: [F, 6] f32 (x2, y2, ax1, ay1, a2x,
+    a2y); istate: [F, 4] i32 (status, iters, done, oob1).
 
-    Returns (x2, y2, status, iters, done_i32, stall_i32, residue).
+    Returns ([F, 2] f32 (x2, y2), [F, 4] i32 (status, iters, done,
+    stall), [F, 1] f32 residue).
     """
     f = p2.shape[0]
     call = _inner_call(cfg, k, nc, nr, f)
-    return call(p1w, p2, a2x, a2y, ax1, ay1, oob1, x2, y2, status,
-                iters, done)
+    return call(p1w, p2, fstate, istate)

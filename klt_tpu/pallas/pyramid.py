@@ -129,6 +129,7 @@ def _fused_call(h: int, w: int, cfg: TrackingConfig, in_dtype_name: str):
                 ncols, nrows = shapes[lvl + 1]
                 level = _decimate(sm, nrows, ncols, s, sh)
 
+    from . import interpret_mode
     out_shape = [jax.ShapeDtypeStruct((r, c), jnp.float32)
                  for (c, r) in shapes] * 3
     return pl.pallas_call(
@@ -136,6 +137,7 @@ def _fused_call(h: int, w: int, cfg: TrackingConfig, in_dtype_name: str):
         out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 * nlev),
+        interpret=interpret_mode(),
     )
 
 
