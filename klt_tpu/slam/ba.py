@@ -1,0 +1,242 @@
+"""Distributed sparse bundle adjustment (Schur complement over a mesh).
+
+The classic BA normal equations have the arrow structure
+
+    [ U   W ] [dx_pose]   [ b_p ]
+    [ W^T V ] [dx_lm  ] = [ b_l ]
+
+with U block-diagonal over poses (6x6), V block-diagonal over
+landmarks (3x3).  The pose update solves the Schur complement
+S = U - W V^-1 W^T; landmarks back-substitute.
+
+TPU mapping: the observation axis is the big one, so observations are
+sharded over the mesh's `data` axis inside `shard_map`; each shard
+reduces its local contributions to (U, V, W, b) with segment-sums, and
+one `psum` per tensor yields the replicated reduced system — the
+distributed Schur-complement reduction described in SURVEY.md §2.  The
+small replicated solve then runs on every chip.
+
+This is the north-star extension beyond the reference (which has no
+mapping layer); the front end that feeds it is the tracked
+KLT_FeatureTable (slam/chains.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .geometry import se3_exp, se3_apply, project
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass
+class BAProblem:
+    """Dense-indexed bundle adjustment problem.
+
+    R: [P, 3, 3] f32; t: [P, 3] f32 — camera-from-world poses.
+    landmarks: [L, 3] f32 world points.
+    cam_idx, lm_idx: [M] i32; uv: [M, 2] f32; weight: [M] f32
+    (0 disables an observation — used for padding).
+    fx, fy, cx, cy: floats.
+    """
+
+    R: jax.Array
+    t: jax.Array
+    landmarks: jax.Array
+    cam_idx: jax.Array
+    lm_idx: jax.Array
+    uv: jax.Array
+    weight: jax.Array
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+
+    def pad_observations(self, multiple: int) -> "BAProblem":
+        m = self.cam_idx.shape[0]
+        pad = (-m) % multiple
+        if pad == 0:
+            return self
+        z = lambda a, v: jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], v, a.dtype)])
+        return dataclasses.replace(
+            self, cam_idx=z(self.cam_idx, 0), lm_idx=z(self.lm_idx, 0),
+            uv=z(self.uv, 0.0), weight=z(self.weight, 0.0))
+
+
+def _residual_one(xi, dlm, R, t, lm, uv, fx, fy, cx, cy):
+    """Reprojection residual at local updates (xi, dlm)."""
+    dR, dt = se3_exp(xi[None])
+    p = se3_apply(R, t, lm + dlm)
+    p = se3_apply(dR[0], dt[0], p)
+    return project(p, fx, fy, cx, cy) - uv
+
+
+def _obs_blocks(R, t, landmarks, cam_idx, lm_idx, uv, weight,
+                fx, fy, cx, cy):
+    """Per-observation residuals + Jacobians, batched with vmap/jacfwd."""
+    Ro = R[cam_idx]
+    to = t[cam_idx]
+    lmo = landmarks[lm_idx]
+    zero6 = jnp.zeros(6, jnp.float32)
+    zero3 = jnp.zeros(3, jnp.float32)
+
+    def one(Ri, ti, lmi, uvi):
+        r = _residual_one(zero6, zero3, Ri, ti, lmi, uvi, fx, fy, cx, cy)
+        jp = jax.jacfwd(lambda xi: _residual_one(
+            xi, zero3, Ri, ti, lmi, uvi, fx, fy, cx, cy))(zero6)
+        jl = jax.jacfwd(lambda dl: _residual_one(
+            zero6, dl, Ri, ti, lmi, uvi, fx, fy, cx, cy))(zero3)
+        return r, jp, jl
+
+    r, jp, jl = jax.vmap(one)(Ro, to, lmo, uv)  # [M,2], [M,2,6], [M,2,3]
+    w = weight[:, None, None]
+    return r * weight[:, None], jp * w, jl * w
+
+
+def _reduce_blocks(r, jp, jl, cam_idx, lm_idx, n_pose, n_lm):
+    """Segment-reduced normal-equation blocks from local observations."""
+    U = jax.ops.segment_sum(jnp.einsum("mki,mkj->mij", jp, jp, precision=_HI),
+                            cam_idx, num_segments=n_pose)
+    V = jax.ops.segment_sum(jnp.einsum("mki,mkj->mij", jl, jl, precision=_HI),
+                            lm_idx, num_segments=n_lm)
+    bp = jax.ops.segment_sum(-jnp.einsum("mki,mk->mi", jp, r, precision=_HI),
+                             cam_idx, num_segments=n_pose)
+    bl = jax.ops.segment_sum(-jnp.einsum("mki,mk->mi", jl, r, precision=_HI),
+                             lm_idx, num_segments=n_lm)
+    # W as [L, P*6, 3] via joint segment id (dense [P,L,6,3] done small)
+    joint = lm_idx * n_pose + cam_idx
+    Wj = jax.ops.segment_sum(jnp.einsum("mki,mkj->mij", jp, jl, precision=_HI),
+                             joint, num_segments=n_pose * n_lm)
+    W = Wj.reshape(n_lm, n_pose, 6, 3).transpose(1, 0, 2, 3)
+    return U, V, W, bp, bl
+
+
+def _gn_step(R, t, landmarks, prob: BAProblem, mesh: Mesh | None,
+             damping: float, fix_first: bool):
+    n_pose = R.shape[0]
+    n_lm = landmarks.shape[0]
+    consts = (prob.fx, prob.fy, prob.cx, prob.cy)
+
+    def local(cam_idx, lm_idx, uv, weight):
+        r, jp, jl = _obs_blocks(R, t, landmarks, cam_idx, lm_idx, uv,
+                                weight, *consts)
+        U, V, W, bp, bl = _reduce_blocks(r, jp, jl, cam_idx, lm_idx,
+                                         n_pose, n_lm)
+        cost = jnp.sum(r * r)
+        return U, V, W, bp, bl, cost
+
+    if mesh is not None:
+        def sharded(cam_idx, lm_idx, uv, weight):
+            out = local(cam_idx, lm_idx, uv, weight)
+            return tuple(jax.lax.psum(o, "data") for o in out)
+
+        spec = P("data")
+        U, V, W, bp, bl, cost = shard_map(
+            sharded, mesh=mesh,
+            in_specs=(spec, spec, spec, spec),
+            out_specs=P(),
+        )(prob.cam_idx, prob.lm_idx, prob.uv, prob.weight)
+    else:
+        U, V, W, bp, bl, cost = local(prob.cam_idx, prob.lm_idx,
+                                      prob.uv, prob.weight)
+
+    # Marquardt scaling: damp proportionally to each block's diagonal
+    # (handles the mixed rad/px/unit scales), plus a small absolute
+    # floor for unobserved parameters.
+    lam = jnp.float32(damping)
+    eye6 = jnp.eye(6, dtype=U.dtype)[None]
+    eye3 = jnp.eye(3, dtype=V.dtype)[None]
+    du = jnp.einsum("pii->pi", U)[:, :, None] * eye6
+    dv = jnp.einsum("lii->li", V)[:, :, None] * eye3
+    U = U + lam * du + 1e-6 * eye6
+    V = V + lam * dv + 1e-6 * eye3
+
+    Vinv = jnp.linalg.inv(V)                       # [L, 3, 3]
+    WVinv = jnp.einsum("plij,ljk->plik", W, Vinv, precision=_HI)  # [P, L, 6, 3]
+    S = -jnp.einsum("plik,qlmk->piqm", WVinv, W, precision=_HI)   # -W V^-1 W^T
+    idx = jnp.arange(n_pose)
+    S = S.at[idx, :, idx, :].add(U)
+    S = S.reshape(n_pose * 6, n_pose * 6)
+
+    rhs = bp - jnp.einsum("plik,lk->pi", WVinv, bl, precision=_HI)
+
+    if fix_first:
+        # gauge fix: clamp pose 0 by zeroing its rows/cols + identity
+        mask = jnp.ones(n_pose * 6, S.dtype).at[:6].set(0.0)
+        S = S * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+        rhs = rhs * mask.reshape(n_pose, 6)
+
+    # Jacobi preconditioning: the raw Schur system spans ~8 orders of
+    # magnitude in f32 (fx^2-scaled rotation blocks vs unit translation
+    # blocks); scaling by sqrt(diag) keeps the f32 solve accurate.
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(S), 1e-12))
+    Sp = S / d[:, None] / d[None, :]
+    rhsp = rhs.reshape(-1) / d
+    dx_pose = (jnp.linalg.solve(Sp, rhsp) / d).reshape(n_pose, 6)
+    dx_lm = jnp.einsum("lij,lj->li", Vinv,
+                       bl - jnp.einsum("plik,pi->lk", W, dx_pose,
+                                       precision=_HI), precision=_HI)
+
+    dR, dt = se3_exp(dx_pose)
+    R_new = jnp.einsum("pij,pjk->pik", dR, R, precision=_HI)
+    t_new = jnp.einsum("pij,pj->pi", dR, t, precision=_HI) + dt
+    lm_new = landmarks + dx_lm
+    return R_new, t_new, lm_new, cost
+
+
+def _total_cost(R, t, landmarks, prob: BAProblem):
+    r, _, _ = _obs_blocks(R, t, landmarks, prob.cam_idx, prob.lm_idx,
+                          prob.uv, prob.weight,
+                          prob.fx, prob.fy, prob.cx, prob.cy)
+    return jnp.sum(r * r)
+
+
+def bundle_adjust(prob: BAProblem, mesh: Mesh | None = None,
+                  iterations: int = 10, damping: float = 10.0,
+                  fix_first: bool = True):
+    """Levenberg-Marquardt with adaptive damping.
+
+    Each iteration computes one damped Schur step; the step is accepted
+    only if it lowers the total cost (otherwise the damping is raised
+    and the step retried on the next iteration — classic LM, expressed
+    as a fixed-trip scan with masked accept for XLA).
+
+    Returns (R, t, landmarks, costs [iterations]) — costs are the
+    accepted cost after each iteration.
+    """
+    if mesh is not None:
+        prob = prob.pad_observations(mesh.shape["data"])
+
+    @jax.jit
+    def run(R, t, lm):
+        c0 = _total_cost(R, t, lm, prob)
+
+        def body(carry, _):
+            R, t, lm, lam, c_cur = carry
+            Rn, tn, lmn, _ = _gn_step(R, t, lm, prob, mesh,
+                                      lam, fix_first)
+            c_new = _total_cost(Rn, tn, lmn, prob)
+            ok = c_new < c_cur
+            sel = lambda a, b: jnp.where(ok, a, b)
+            R = jnp.where(ok, Rn, R)
+            t = sel(tn, t)
+            lm = sel(lmn, lm)
+            lam = jnp.where(ok, jnp.maximum(lam * 0.5, 1e-6), lam * 4.0)
+            c_cur = sel(c_new, c_cur)
+            return (R, t, lm, lam, c_cur), c_cur
+
+        (Rf, tf, lmf, _, _), costs = jax.lax.scan(
+            body, (R, t, lm, jnp.float32(damping), c0), None,
+            length=iterations)
+        return Rf, tf, lmf, costs
+
+    return run(prob.R, prob.t, prob.landmarks)

@@ -1,0 +1,100 @@
+"""SLAM extension tests: chains, keyframes, bundle adjustment."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from klt_tpu.slam import (tracks_from_table, select_keyframes,
+                          BAProblem, bundle_adjust)
+from klt_tpu.slam.geometry import so3_exp, se3_apply, project
+
+
+def _synthetic_problem(rng, n_pose=4, n_lm=60, noise=0.0,
+                       perturb=0.02):
+    fx = fy = 300.0
+    cx, cy = 160.0, 120.0
+    lm = rng.uniform([-2, -2, 4], [2, 2, 8], (n_lm, 3)).astype(np.float32)
+    R_true, t_true = [], []
+    for p in range(n_pose):
+        w = rng.randn(3).astype(np.float32) * 0.02
+        R_true.append(np.asarray(so3_exp(jnp.asarray(w))))
+        t_true.append(np.asarray([0.1 * p, 0.0, 0.0], np.float32))
+    R_true = np.stack(R_true)
+    t_true = np.stack(t_true)
+
+    cam_idx = np.repeat(np.arange(n_pose, dtype=np.int32), n_lm)
+    lm_idx = np.tile(np.arange(n_lm, dtype=np.int32), n_pose)
+    p_cam = np.einsum("mij,mj->mi", R_true[cam_idx], lm[lm_idx]) \
+        + t_true[cam_idx]
+    uv = np.asarray(project(jnp.asarray(p_cam), fx, fy, cx, cy))
+    uv = uv + noise * rng.randn(*uv.shape).astype(np.float32)
+
+    # perturbed initial estimates (poses near truth, landmarks noisy)
+    R0, t0 = [], []
+    for p in range(n_pose):
+        w = rng.randn(3).astype(np.float32) * (0 if p == 0 else perturb)
+        R0.append(np.asarray(so3_exp(jnp.asarray(w))) @ R_true[p])
+        t0.append(t_true[p] + (0 if p == 0 else
+                               perturb * rng.randn(3).astype(np.float32)))
+    lm0 = lm + 0.05 * rng.randn(*lm.shape).astype(np.float32)
+
+    prob = BAProblem(
+        R=jnp.asarray(np.stack(R0)), t=jnp.asarray(np.stack(t0)),
+        landmarks=jnp.asarray(lm0),
+        cam_idx=jnp.asarray(cam_idx), lm_idx=jnp.asarray(lm_idx),
+        uv=jnp.asarray(uv.astype(np.float32)),
+        weight=jnp.ones(len(cam_idx), jnp.float32),
+        fx=fx, fy=fy, cx=cx, cy=cy)
+    return prob, R_true, t_true, lm
+
+
+def test_tracks_from_table():
+    val = np.array([[10, 0, 0, -2, 5, 0],
+                    [3, 0, -1, 7, 0, 0]], np.int32)
+    x = np.arange(12, dtype=np.float32).reshape(2, 6)
+    y = x + 100
+    tid, frame, u, v = tracks_from_table(x, y, val, min_length=2)
+    # feature 0: chain of 3 then chain of 2; feature 1: 2 then 3
+    assert len(np.unique(tid)) == 4
+    assert len(tid) == 10
+    # chains are contiguous frame runs
+    for t in np.unique(tid):
+        f = frame[tid == t]
+        assert (np.diff(f) == 1).all()
+
+
+def test_keyframes_overlap():
+    # features die out over time -> keyframes appear
+    val = -np.ones((10, 8), np.int32)
+    for i in range(10):
+        val[i, : 8 - i // 2] = 0
+    kfs = select_keyframes(val, overlap_thresh=0.7)
+    assert kfs[0] == 0
+    assert len(kfs) >= 2
+
+
+def test_ba_converges():
+    rng = np.random.RandomState(0)
+    prob, R_true, t_true, lm_true = _synthetic_problem(rng)
+    R, t, lm, costs = bundle_adjust(prob, iterations=15, damping=1e-4)
+    costs = np.asarray(costs)
+    assert costs[-1] < costs[0] * 1e-4
+    # landmarks recovered (gauge fixed by first pose + near-true init)
+    assert np.abs(np.asarray(lm) - lm_true).max() < 2e-2
+
+
+def test_ba_sharded_matches_single():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from klt_tpu.parallel.mesh import make_mesh
+    rng = np.random.RandomState(1)
+    prob, *_ = _synthetic_problem(rng, n_pose=3, n_lm=40, noise=0.2)
+    mesh = make_mesh({"data": 8})
+    R1, t1, lm1, c1 = bundle_adjust(prob, iterations=5)
+    R8, t8, lm8, c8 = bundle_adjust(prob, mesh=mesh, iterations=5)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c8),
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(lm1), np.asarray(lm8),
+                               rtol=1e-3, atol=1e-5)
