@@ -105,6 +105,34 @@ def main():
         "status_agreement": status_agree,
         "device": str(jax.devices()[0]),
     }
+
+    # Secondary: the reference's own GPU benchmark config — 640x480
+    # traffic sequence (src/V3/example3GPU.c CLI), timed the same way
+    # (track only; one long device program amortizes dispatch).
+    traffic = "/root/reference/data/images_traffic"
+    if os.path.isdir(traffic):
+        n_fr = 200
+        fr = np.stack([klt.read_pgm(os.path.join(traffic,
+                                                 f"img{i}.pgm"))
+                       for i in range(1, n_fr + 1)])
+        tr2 = klt.KLTracker(cfg)
+        fl2 = klt.FeatureList.create(150)
+        tr2.select_good_features(fr[0], fl2)
+        fr_dev = jax.device_put(fr)
+        a0 = jax.device_put(fl2.x)
+        b0 = jax.device_put(fl2.y)
+        c0 = jax.device_put(fl2.val)
+
+        out = track_sequence(fr_dev, a0, b0, c0, cfg)
+        jax.block_until_ready(out)
+        best_t = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = track_sequence(fr_dev, a0 + 1e-4, b0, c0, cfg)
+            jax.block_until_ready(out)
+            best_t = min(best_t, (time.perf_counter() - t0) / (n_fr - 1))
+        result["traffic_640x480_frames_per_s"] = round(1.0 / best_t, 2)
+
     print(json.dumps(result))
 
 

@@ -32,9 +32,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import TrackingConfig, pyramid_shapes
 from ..kernels import gaussian_kernels
 
-# VMEM budget gate: a level kernel holds ~5 live [H, W] f32 buffers.
-_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
-_LIVE_BUFFERS = 6
+# VMEM budget gate: the fused kernel holds ~8 live [H, W] f32 buffers
+# (v5e VMEM is 128M; the call requests a 100M scoped limit).
+_VMEM_BUDGET_BYTES = 88 * 1024 * 1024
+_LIVE_BUFFERS = 8
 
 
 def _iota_mask(h, w, radius, axis):
@@ -137,6 +138,8 @@ def _fused_call(h: int, w: int, cfg: TrackingConfig, in_dtype_name: str):
         out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 * nlev),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret_mode(),
     )
 

@@ -1,0 +1,90 @@
+"""Pallas kernel logic tests (interpret mode, CPU).
+
+The fused pyramid and LK level kernels normally run only on TPU; with
+KLT_TPU_PALLAS_INTERPRET=1 they execute through the Pallas interpreter,
+letting CI validate the kernel logic against the jnp oracles without
+hardware.  (On-TPU numerical equivalence is additionally verified by
+bench.py's golden comparison.)
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from klt_tpu.config import TrackingConfig
+from conftest import REF_DATA
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    from klt_tpu.pallas import pyramid as pp
+    from klt_tpu.pallas import lk as pk
+    monkeypatch.setenv("KLT_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("KLT_TPU_NO_PALLAS", raising=False)
+    pp._fused_call.cache_clear()
+    pk._inner_call.cache_clear()
+    yield
+    pp._fused_call.cache_clear()
+    pk._inner_call.cache_clear()
+
+
+def _oracle_pyramids(img, cfg, monkeypatch):
+    from klt_tpu.ops.pyramid import build_image_pyramids
+    monkeypatch.setenv("KLT_TPU_NO_PALLAS", "1")
+    out = jax.jit(lambda im: build_image_pyramids(im, cfg))(img)
+    monkeypatch.delenv("KLT_TPU_NO_PALLAS")
+    return out
+
+
+def test_fused_pyramid_matches_oracle(provided_frames, interpret_pallas,
+                                      monkeypatch):
+    from klt_tpu.pallas.pyramid import fused_build_image_pyramids
+    cfg = TrackingConfig()
+    img = jnp.asarray(provided_frames[0])
+    ref = _oracle_pyramids(img, cfg, monkeypatch)
+    out = jax.jit(lambda im: fused_build_image_pyramids(im, cfg))(img)
+    for rs, os_ in zip(ref, out):
+        for a, b in zip(rs, os_):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
+
+
+def test_lk_kernel_matches_gather_oracle(provided_frames, interpret_pallas,
+                                         monkeypatch):
+    import klt_tpu.ops.lk as LK
+    cfg = TrackingConfig()
+    img0 = np.asarray(provided_frames[0])
+    # subpixel-translated second frame: a well-conditioned LK problem
+    # where both implementations must converge identically (chaotic
+    # far-displacement lanes are covered by the golden pipeline tests)
+    img1 = np.roll(img0, (1, 2), axis=(0, 1))
+    p0 = _oracle_pyramids(jnp.asarray(img0), cfg, monkeypatch)
+    p1 = _oracle_pyramids(jnp.asarray(img1), cfg, monkeypatch)
+
+    rng = np.random.RandomState(3)
+    n = 64
+    for lev in (0, 1):
+        s = cfg.subsampling ** lev
+        s1 = jnp.stack([p0[0][lev], p0[1][lev], p0[2][lev]])
+        s2 = jnp.stack([p1[0][lev], p1[1][lev], p1[2][lev]])
+        h, w = s1.shape[-2], s1.shape[-1]
+        x = jnp.asarray(rng.uniform(25 / s, w - 25 / s, n)
+                        .astype(np.float32))
+        y = jnp.asarray(rng.uniform(25 / s, h - 25 / s, n)
+                        .astype(np.float32))
+        act = jnp.asarray(rng.rand(n) > 0.1)
+
+        ref = jax.jit(lambda *a: LK._track_level_gather(*a, cfg))(
+            s1, s2, x, y, x, y, act)
+        out = jax.jit(lambda *a: LK._track_level_kernel(*a, cfg))(
+            s1, s2, x, y, x, y, act)
+        rx, ry, rs = (np.asarray(t) for t in ref[:3])
+        ox, oy, os_ = (np.asarray(t) for t in out[:3])
+        assert (rs == os_).mean() >= 0.98
+        both = (rs == 0) & (os_ == 0)
+        np.testing.assert_allclose(rx[both], ox[both], atol=1e-4)
+        np.testing.assert_allclose(ry[both], oy[both], atol=1e-4)
