@@ -71,3 +71,17 @@ def load_sequence(name: str, max_frames: int | None = None):
     seq = ImageSequence(path)
     n = len(seq) if max_frames is None else min(len(seq), max_frames)
     return [seq[i] for i in range(n)]
+
+
+def load_sequence_array(name: str, max_frames: int | None = None):
+    """Dataset name -> uint8 [T, H, W] array via the threaded native
+    loader (or None if the dataset is unavailable)."""
+    from .. import native
+
+    path = find_dataset(name)
+    if path is None:
+        return None
+    seq = ImageSequence(path)
+    n = len(seq) if max_frames is None else min(len(seq), max_frames)
+    paths = [os.path.join(seq.directory, seq._files[i]) for i in range(n)]
+    return native.load_pgm_batch(paths, seq.nrows, seq.ncols)

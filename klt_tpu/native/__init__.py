@@ -22,7 +22,7 @@ _lib = None
 
 def _build() -> None:
     cc = os.environ.get("CC", "cc")
-    cmd = [cc, "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC]
+    cmd = [cc, "-O2", "-shared", "-fPIC", "-pthread", "-o", _LIB, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -45,6 +45,11 @@ def _load() -> ctypes.CDLL:
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32]
         lib.klt_min_dist_suppress.restype = None
+        lib.klt_load_pgm_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64]
+        lib.klt_load_pgm_batch.restype = ctypes.c_int64
         _lib = lib
         return lib
 
@@ -81,3 +86,23 @@ def min_dist_suppress(pts: np.ndarray, fx: np.ndarray, fy: np.ndarray,
         ctypes.c_int32(ncols), ctypes.c_int32(nrows),
         ctypes.c_int32(max(mindist, 0)), ctypes.c_int32(min_eigenvalue),
         ctypes.c_int32(1 if overwrite_all else 0))
+
+
+def load_pgm_batch(paths, height: int, width: int,
+                   n_threads: int = 8) -> np.ndarray:
+    """Threaded batch load of binary PGM frames -> uint8 [n, h, w].
+
+    The native analogue of looping pgmReadFile (src/V1/pnmio.c:206-230),
+    parallelized across files for long sequences."""
+    lib = _load()
+    n = len(paths)
+    out = np.empty((n, height, width), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rc = lib.klt_load_pgm_batch(
+        arr, ctypes.c_int64(n),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(height), ctypes.c_int64(width),
+        ctypes.c_int64(n_threads))
+    if rc != 0:
+        raise IOError(f"failed to load PGM file: {paths[rc - 1]}")
+    return out

@@ -141,3 +141,115 @@ void klt_min_dist_suppress(const int32_t *pts, int64_t npts,
 
   free(map);
 }
+
+/* ------------------------------------------------------------------ */
+/* Threaded batch PGM loader (the pnmio role at production scale).     */
+/*                                                                     */
+/* Parses binary P5 headers (comment-skipping, maxval <= 255 — the     */
+/* reference's format contract, src/V1/pnmio.c:46-109) and fills a     */
+/* caller-provided [n, h, w] uint8 buffer, one worker thread per CPU   */
+/* stripe.  Returns 0 on success, else 1-based index of the first      */
+/* file that failed.                                                   */
+/* ------------------------------------------------------------------ */
+
+#include <pthread.h>
+#include <stdio.h>
+
+typedef struct {
+  const char *const *paths;
+  uint8_t *out;
+  int64_t n, h, w;
+  int64_t begin, end;
+  int64_t failed; /* 0 ok, else 1-based file index */
+} loader_job;
+
+static int read_pgm_into(const char *path, uint8_t *dst, int64_t h,
+                         int64_t w)
+{
+  FILE *f = fopen(path, "rb");
+  int c, fields = 0;
+  long vals[3] = {0, 0, 0};
+  if (!f)
+    return 1;
+  if (fgetc(f) != 'P' || fgetc(f) != '5') {
+    fclose(f);
+    return 1;
+  }
+  while (fields < 3) {
+    c = fgetc(f);
+    if (c == '#') { /* comment to end of line */
+      while (c != '\n' && c != EOF)
+        c = fgetc(f);
+    } else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+      continue;
+    } else if (c >= '0' && c <= '9') {
+      long v = 0;
+      while (c >= '0' && c <= '9') {
+        v = v * 10 + (c - '0');
+        c = fgetc(f);
+      }
+      vals[fields++] = v;
+      if (fields == 3)
+        break; /* single whitespace after maxval already consumed */
+    } else {
+      fclose(f);
+      return 1;
+    }
+  }
+  if (vals[0] != w || vals[1] != h || vals[2] <= 0 || vals[2] > 255) {
+    fclose(f);
+    return 1;
+  }
+  if (fread(dst, 1, (size_t)(h * w), f) != (size_t)(h * w)) {
+    fclose(f);
+    return 1;
+  }
+  fclose(f);
+  return 0;
+}
+
+static void *loader_worker(void *arg)
+{
+  loader_job *job = (loader_job *)arg;
+  int64_t i;
+  for (i = job->begin; i < job->end; i++) {
+    if (read_pgm_into(job->paths[i], job->out + i * job->h * job->w,
+                      job->h, job->w)) {
+      job->failed = i + 1;
+      return NULL;
+    }
+  }
+  return NULL;
+}
+
+int64_t klt_load_pgm_batch(const char *const *paths, int64_t n,
+                           uint8_t *out, int64_t h, int64_t w,
+                           int64_t n_threads)
+{
+  pthread_t tids[16];
+  loader_job jobs[16];
+  int64_t t, nt = n_threads;
+  if (nt < 1)
+    nt = 1;
+  if (nt > 16)
+    nt = 16;
+  if (nt > n)
+    nt = n > 0 ? n : 1;
+  for (t = 0; t < nt; t++) {
+    jobs[t].paths = paths;
+    jobs[t].out = out;
+    jobs[t].n = n;
+    jobs[t].h = h;
+    jobs[t].w = w;
+    jobs[t].begin = n * t / nt;
+    jobs[t].end = n * (t + 1) / nt;
+    jobs[t].failed = 0;
+    pthread_create(&tids[t], NULL, loader_worker, &jobs[t]);
+  }
+  for (t = 0; t < nt; t++)
+    pthread_join(tids[t], NULL);
+  for (t = 0; t < nt; t++)
+    if (jobs[t].failed)
+      return jobs[t].failed;
+  return 0;
+}

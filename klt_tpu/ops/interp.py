@@ -139,6 +139,31 @@ def onehot_extract(stack: jax.Array, y0: jax.Array, x0: jax.Array,
     return outs.reshape(n_chunks * chunk, c, ny, nx)[:f]
 
 
+def onehot_extract_packed(stack: jax.Array, y0: jax.Array, x0: jax.Array,
+                          ny: int, nx: int) -> jax.Array:
+    """Like onehot_extract but returns the channel-block lane packing
+    [F, ny, C*nx] the Pallas LK kernel consumes, with the layout folded
+    into the second einsum's output order (no separate transpose)."""
+    c, h_img, w_img = stack.shape
+    hi = jnp.arange(h_img, dtype=jnp.int32)
+    wi = jnp.arange(w_img, dtype=jnp.int32)
+    f = y0.shape[0]
+    rows = (y0[:, None] +
+            jnp.arange(ny, dtype=jnp.int32)[None, :]).reshape(-1)
+    row_oh = (rows[:, None] == hi[None, :]).astype(jnp.float32)
+    band = jnp.einsum("rh,chw->crw", row_oh, stack,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+    band = band.reshape(c, f, ny, w_img)
+    col_oh = ((x0[:, None, None] +
+               jnp.arange(nx, dtype=jnp.int32)[None, :, None]) ==
+              wi[None, None, :]).astype(jnp.float32)  # [f, nx, W]
+    out = jnp.einsum("cfrw,fxw->frcx", band, col_oh,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(f, ny, c * nx)
+
+
 def select_windows_bilinear(patches: jax.Array, oy: jax.Array,
                             ox: jax.Array, ay: jax.Array, ax: jax.Array,
                             height: int, width: int) -> jax.Array:

@@ -191,6 +191,15 @@ def _track_level_gather(stack1, stack2, x1, y1, x2, y2, active,
 KERNEL_PATCH = 16  # patch side for the Pallas level kernel
 
 
+def _kernel_patch_size(nr: int, nc: int, cfg: TrackingConfig) -> int:
+    """Patch side.  16 won the margin-vs-selection-cost tradeoff on the
+    benchmark sequences: a 12-px patch (2-px margin) shaves ~1 us per
+    Newton iteration but triggers enough extra re-anchor rounds (one
+    extraction + kernel launch each) to lose ~15% end to end."""
+    return max(KERNEL_PATCH,
+               max(cfg.window_width, cfg.window_height) + 3)
+
+
 def _pack_patches(p):
     """[F, C, ny, nx] -> [F, ny, C*nx] channel-block lane packing."""
     f, c, ny, nx = p.shape
@@ -203,12 +212,13 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
     anchor round (klt_tpu/pallas/lk.py).  Semantics mirror the fast
     path below; the outer re-anchor loop stays in XLA."""
     from ..pallas.lk import lk_level_inner
+    from .interp import onehot_extract_packed
 
     w, h = cfg.window_width, cfg.window_height
     hw, hh = np.float32(w // 2), np.float32(h // 2)
     hwi, hhi = w // 2, h // 2
-    k = KERNEL_PATCH
     nr, nc = stack1.shape[-2], stack1.shape[-1]
+    k = _kernel_patch_size(nr, nc, cfg)
     ncf, nrf = np.float32(nc), np.float32(nr)
     margin = (k - (h + 1)) // 2
     n = x1.shape[0]
@@ -222,7 +232,7 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
     ay1 = y1 - yt1.astype(jnp.float32)
     x10 = jnp.clip(xt1 - hwi, 0, nc - (w + 1))
     y10 = jnp.clip(yt1 - hhi, 0, nr - (h + 1))
-    p1w = _pack_patches(onehot_extract(stack1, y10, x10, h + 1, w + 1))
+    p1w = onehot_extract_packed(stack1, y10, x10, h + 1, w + 1)
     oob1 = _window_oob(x1, y1, hw, hh, ncf, nrf)
 
     def anchors(x2c, y2c):
@@ -237,10 +247,9 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
     oob1_i = col(oob1.astype(jnp.int32))
     ax1c, ay1c = col(ax1), col(ay1)
 
-    def outer(state):
-        rounds, x2c, y2c, status, iters, done, _ = state
+    def round_once(x2c, y2c, status, iters, done):
         py0, px0 = anchors(x2c, y2c)
-        p2 = _pack_patches(onehot_extract(stack2, py0, px0, k, k))
+        p2 = onehot_extract_packed(stack2, py0, px0, k, k)
         fstate = jnp.concatenate(
             [col(x2c), col(y2c), ax1c, ay1c,
              col(px0.astype(jnp.float32)), col(py0.astype(jnp.float32))],
@@ -249,16 +258,26 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
             [col(status), col(iters), col(done), oob1_i], axis=1)
         fout, iout, resn = lk_level_inner(p1w, p2, fstate, istate,
                                           cfg, k, nc, nr)
-        return (rounds + 1, fout[:, 0], fout[:, 1], iout[:, 0],
-                iout[:, 1], iout[:, 2], resn)
+        return (fout[:, 0], fout[:, 1], iout[:, 0], iout[:, 1],
+                iout[:, 2], resn)
+
+    # first anchor round always runs; the while only spins for the rare
+    # re-anchor (a feature whose trajectory left its patch margin)
+    x2f, y2f, status, iters, done, residue = round_once(
+        x2, y2, status0, iters0, done0)
+
+    def outer(state):
+        rounds, x2c, y2c, status, iters, done, _ = state
+        out = round_once(x2c, y2c, status, iters, done)
+        return (rounds + 1,) + out
 
     def outer_going(state):
         rounds, done = state[0], state[5]
-        return jnp.any(done == 0) & (rounds < cfg.max_iterations + 2)
+        return jnp.any(done == 0) & (rounds < cfg.max_iterations + 1)
 
     _, x2f, y2f, status, iters, _, residue = jax.lax.while_loop(
         outer_going, outer,
-        (jnp.int32(0), x2, y2, status0, iters0, done0, res0))
+        (jnp.int32(0), x2f, y2f, status, iters, done, residue))
     residue = residue[:, 0]
 
     status = _final_status(status, iters, x2f, y2f, residue, hw, hh,
@@ -284,8 +303,9 @@ def track_level(stack1, stack2, x1, y1, x2, y2, active,
                                    active, cfg)
 
     from ..pallas import pallas_enabled
-    if (pallas_enabled() and min(nr, nc) >= KERNEL_PATCH
-            and max(h, w) + 1 <= KERNEL_PATCH - 2):
+    _k = _kernel_patch_size(nr, nc, cfg)
+    if (pallas_enabled() and min(nr, nc) >= _k
+            and max(h, w) + 3 <= _k):
         return _track_level_kernel(stack1, stack2, x1, y1, x2, y2,
                                    active, cfg)
 
