@@ -53,7 +53,7 @@ def main():
     v0 = jax.device_put(fl.val)
 
     n_pairs = frames.shape[0] - 1
-    reps = 30
+    reps = 100
 
     @jax.jit
     def timed_run(frames, x, y, v):

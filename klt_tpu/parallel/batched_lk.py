@@ -1,0 +1,185 @@
+"""Natively-batched multi-sequence LK tracking.
+
+`jax.vmap` over a `pallas_call` turns the batch into a sequential grid
+dimension — B kernel launches back to back.  But the LK level kernel
+never touches the images (only per-feature patches), so B sequences can
+share ONE kernel invocation by flattening the feature axis to [B*F]:
+patch extraction vmaps over the batch as ordinary batched matmuls on
+the MXU, and everything downstream is feature-parallel.  This is the
+throughput path for tracking many videos per chip (and, sharded over a
+mesh's `data` axis, per pod slice).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TrackingConfig, TRACKED, SMALL_DET, OOB
+from ..ops.lk import (_window_oob, _final_status, _kernel_patch_size,
+                      track_features_pyramid)
+from ..ops.interp import onehot_extract_packed
+from ..ops.pyramid import build_image_pyramids
+
+
+def _track_level_kernel_batched(stack1, stack2, x1, y1, x2, y2, active,
+                                cfg: TrackingConfig):
+    """Batched variant of ops.lk._track_level_kernel.
+
+    stack1/stack2: [B, 3, H, W]; coordinate/mask arrays [B, F].
+    One Pallas kernel invocation tracks all B*F features.
+    """
+    from ..pallas.lk import lk_level_inner
+
+    b, _, nr, nc = stack1.shape
+    f = x1.shape[1]
+    n = b * f
+    w, h = cfg.window_width, cfg.window_height
+    hw, hh = np.float32(w // 2), np.float32(h // 2)
+    hwi, hhi = w // 2, h // 2
+    k = _kernel_patch_size(nr, nc, cfg)
+    ncf, nrf = np.float32(nc), np.float32(nr)
+    margin = (k - (h + 1)) // 2
+
+    flat = lambda v: v.reshape(n)
+    col = lambda v: v.reshape(n, 1)
+    extract = jax.vmap(onehot_extract_packed, in_axes=(0, 0, 0, None,
+                                                       None))
+
+    x1f, y1f = flat(x1), flat(y1)
+    xt1 = x1.astype(jnp.int32)
+    yt1 = y1.astype(jnp.int32)
+    ax1c = col(x1 - xt1.astype(jnp.float32))
+    ay1c = col(y1 - yt1.astype(jnp.float32))
+    x10 = jnp.clip(xt1 - hwi, 0, nc - (w + 1))
+    y10 = jnp.clip(yt1 - hhi, 0, nr - (h + 1))
+    p1w = extract(stack1, y10, x10, h + 1, w + 1).reshape(
+        n, h + 1, 3 * (w + 1))
+    oob1_i = col(_window_oob(x1f, y1f, hw, hh, ncf, nrf).astype(jnp.int32))
+
+    def anchors(x2c, y2c):
+        py0 = jnp.clip(y2c.astype(jnp.int32) - hhi - margin, 0, nr - k)
+        px0 = jnp.clip(x2c.astype(jnp.int32) - hwi - margin, 0, nc - k)
+        return py0, px0
+
+    x2f0, y2f0 = flat(x2), flat(y2)
+    status0 = jnp.full((n,), TRACKED, jnp.int32)
+    iters0 = jnp.zeros((n,), jnp.int32)
+    done0 = (~active).reshape(n).astype(jnp.int32)
+
+    def round_once(x2c, y2c, status, iters, done):
+        py0, px0 = anchors(x2c.reshape(b, f), y2c.reshape(b, f))
+        p2 = extract(stack2, py0, px0, k, k).reshape(n, k, 3 * k)
+        fstate = jnp.concatenate(
+            [col(x2c), col(y2c), ax1c, ay1c,
+             col(px0.astype(jnp.float32)), col(py0.astype(jnp.float32))],
+            axis=1)
+        istate = jnp.concatenate(
+            [col(status), col(iters), col(done), oob1_i], axis=1)
+        fout, iout, resn = lk_level_inner(p1w, p2, fstate, istate,
+                                          cfg, k, nc, nr)
+        return (fout[:, 0], fout[:, 1], iout[:, 0], iout[:, 1],
+                iout[:, 2], resn)
+
+    x2c, y2c, status, iters, done, residue = round_once(
+        x2f0, y2f0, status0, iters0, done0)
+
+    def outer(state):
+        rounds, x2c, y2c, status, iters, done, _ = state
+        out = round_once(x2c, y2c, status, iters, done)
+        return (rounds + 1,) + out
+
+    def outer_going(state):
+        rounds, done = state[0], state[5]
+        return jnp.any(done == 0) & (rounds < cfg.max_iterations + 1)
+
+    _, x2c, y2c, status, iters, _, residue = jax.lax.while_loop(
+        outer_going, outer,
+        (jnp.int32(0), x2c, y2c, status, iters, done, residue))
+
+    status = _final_status(status, iters, x2c, y2c, residue[:, 0],
+                           hw, hh, ncf, nrf, cfg)
+    act = active.reshape(n)
+    x2c = jnp.where(act, x2c, x2f0)
+    y2c = jnp.where(act, y2c, y2f0)
+    status = jnp.where(act, status, TRACKED)
+    return (x2c.reshape(b, f), y2c.reshape(b, f),
+            status.reshape(b, f), iters.reshape(b, f))
+
+
+def track_features_pyramid_batched(pyr1, gradx1, grady1, pyr2, gradx2,
+                                   grady2, x, y, val,
+                                   cfg: TrackingConfig):
+    """Batched coarse-to-fine driver: pyr*/grad* are finest-first lists
+    of [B, H_l, W_l]; x, y f32 [B, F]; val i32 [B, F].
+
+    Mirrors ops.lk.track_features_pyramid's classification exactly."""
+    s = np.float32(cfg.subsampling)
+    nlev = cfg.n_pyramid_levels
+    nr0, nc0 = pyr1[0].shape[-2], pyr1[0].shape[-1]
+    alive = val >= 0
+
+    xloc, yloc = x, y
+    for _ in range(nlev):
+        xloc = xloc / s
+        yloc = yloc / s
+    xout, yout = xloc, yloc
+
+    aborted = jnp.zeros_like(alive)
+    last_status = jnp.full(x.shape, TRACKED, jnp.int32)
+
+    for r in range(nlev - 1, -1, -1):
+        in_loop = alive & ~aborted
+        xloc = jnp.where(in_loop, xloc * s, xloc)
+        yloc = jnp.where(in_loop, yloc * s, yloc)
+        xout = jnp.where(in_loop, xout * s, xout)
+        yout = jnp.where(in_loop, yout * s, yout)
+
+        stack1 = jnp.stack([pyr1[r], gradx1[r], grady1[r]], axis=1)
+        stack2 = jnp.stack([pyr2[r], gradx2[r], grady2[r]], axis=1)
+        x2, y2, st, _ = _track_level_kernel_batched(
+            stack1, stack2, xloc, yloc, xout, yout, in_loop, cfg)
+
+        xout = jnp.where(in_loop, x2, xout)
+        yout = jnp.where(in_loop, y2, yout)
+        last_status = jnp.where(in_loop, st, last_status)
+        aborted = aborted | (in_loop & ((st == SMALL_DET) | (st == OOB)))
+
+    bx = np.float32(cfg.borderx)
+    by = np.float32(cfg.bordery)
+    out_of_border = ((xout < bx) | (xout > np.float32(nc0 - 1) - bx) |
+                     (yout < by) | (yout > np.float32(nr0 - 1) - by))
+    final = jnp.where((last_status != OOB) & out_of_border, OOB,
+                      last_status)
+    lost = final != TRACKED
+    x_new = jnp.where(alive, jnp.where(lost, jnp.float32(-1.0), xout), x)
+    y_new = jnp.where(alive, jnp.where(lost, jnp.float32(-1.0), yout), y)
+    val_new = jnp.where(alive, final, val)
+    return x_new, y_new, val_new
+
+
+def make_fused_pair_step(cfg: TrackingConfig):
+    """Batched frame-pair step with ONE LK kernel invocation per level.
+
+    step(img1 [B,H,W] u8, img2, x [B,N], y, val) -> (x, y, val).
+    Falls back to the per-sequence vmap path off-TPU.
+    """
+    from ..pallas import pallas_enabled
+
+    def step(img1, img2, x, y, val):
+        pyrs1 = jax.vmap(lambda im: build_image_pyramids(im, cfg))(img1)
+        pyrs2 = jax.vmap(lambda im: build_image_pyramids(im, cfg))(img2)
+        if pallas_enabled():
+            return track_features_pyramid_batched(
+                pyrs1[0], pyrs1[1], pyrs1[2],
+                pyrs2[0], pyrs2[1], pyrs2[2], x, y, val, cfg)
+        return jax.vmap(
+            lambda p1, g1x, g1y, p2, g2x, g2y, xx, yy, vv:
+            track_features_pyramid(list(p1), list(g1x), list(g1y),
+                                   list(p2), list(g2x), list(g2y),
+                                   xx, yy, vv, cfg)
+        )(pyrs1[0], pyrs1[1], pyrs1[2], pyrs2[0], pyrs2[1], pyrs2[2],
+          x, y, val)
+
+    return step
