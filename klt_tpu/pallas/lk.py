@@ -218,12 +218,26 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int):
     return kernel
 
 
+# feature-block size for the grid: single-sequence calls (F <= this)
+# run as one block; large batched calls pipeline blocks through VMEM
+FEATURE_BLOCK = 512
+
+
 @functools.lru_cache(maxsize=64)
-def _inner_call(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int):
+def _inner_call(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
+                fb: int):
     from . import interpret_mode
-    kernel = _make_kernel(cfg, k, nc, nr, f)
+    w, h = cfg.window_width, cfg.window_height
+    kernel = _make_kernel(cfg, k, nc, nr, fb)
+    n_blocks = f // fb
+    bspec = lambda shape: pl.BlockSpec(
+        (fb,) + shape, lambda i: (i,) + (0,) * len(shape))
     return pl.pallas_call(
         kernel,
+        grid=(n_blocks,),
+        in_specs=[bspec((h + 1, 3 * (w + 1))), bspec((k, 3 * k)),
+                  bspec((6,)), bspec((4,))],
+        out_specs=[bspec((2,)), bspec((4,)), bspec((1,))],
         out_shape=[jax.ShapeDtypeStruct((f, 2), jnp.float32),
                    jax.ShapeDtypeStruct((f, 4), jnp.int32),
                    jax.ShapeDtypeStruct((f, 1), jnp.float32)],
@@ -242,8 +256,20 @@ def lk_level_inner(p1w, p2, fstate, istate, cfg: TrackingConfig, k: int,
     a2y); istate: [F, 4] i32 (status, iters, done, oob1).
 
     Returns ([F, 2] f32 (x2, y2), [F, 4] i32 (status, iters, done,
-    stall), [F, 1] f32 residue).
+    stall), [F, 1] f32 residue).  Large feature counts are processed in
+    FEATURE_BLOCK-sized grid steps (padded lanes ride along as done).
     """
     f = p2.shape[0]
-    call = _inner_call(cfg, k, nc, nr, f)
-    return call(p1w, p2, fstate, istate)
+    fb = f if f <= FEATURE_BLOCK else FEATURE_BLOCK
+    pad = (-f) % fb
+    if pad:
+        zf = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+        p1w, p2, fstate = zf(p1w), zf(p2), zf(fstate)
+        # padded lanes: done=1 so the loop ignores them
+        ipad = jnp.zeros((pad, 4), jnp.int32).at[:, IDONE].set(1)
+        istate = jnp.concatenate([istate, ipad])
+    call = _inner_call(cfg, k, nc, nr, f + pad, fb)
+    fout, iout, res = call(p1w, p2, fstate, istate)
+    if pad:
+        fout, iout, res = fout[:f], iout[:f], res[:f]
+    return fout, iout, res

@@ -183,3 +183,44 @@ def make_fused_pair_step(cfg: TrackingConfig):
           x, y, val)
 
     return step
+
+
+def track_sequences_batched(frames, x, y, val, cfg: TrackingConfig):
+    """Track B sequences through T frames with device-resident pyramid
+    carry and one LK kernel invocation per level per step.
+
+    frames: uint8 [B, T, H, W]; x, y f32 [B, N]; val i32 [B, N].
+    Returns (xs, ys, vals) of shape [T-1, B, N].
+    """
+    from ..pallas import pallas_enabled
+    vpyr = jax.vmap(lambda im: build_image_pyramids(im, cfg))
+
+    def tfp(p1, p2, x, y, v):
+        if pallas_enabled():
+            return track_features_pyramid_batched(
+                p1[0], p1[1], p1[2], p2[0], p2[1], p2[2], x, y, v, cfg)
+        return jax.vmap(
+            lambda a, b, c, d, e, f, xx, yy, vv:
+            track_features_pyramid(list(a), list(b), list(c), list(d),
+                                   list(e), list(f), xx, yy, vv, cfg)
+        )(p1[0], p1[1], p1[2], p2[0], p2[1], p2[2], x, y, v)
+
+    def pyr_tuple(imgs):
+        p, gx, gy = vpyr(imgs)
+        return tuple(p), tuple(gx), tuple(gy)
+
+    @jax.jit
+    def run(frames, x, y, val):
+        p0 = pyr_tuple(frames[:, 0])
+
+        def body(carry, t):
+            p1, x, y, v = carry
+            p2 = pyr_tuple(frames[:, t])
+            xn, yn, vn = tfp(p1, p2, x, y, v)
+            return (p2, xn, yn, vn), (xn, yn, vn)
+
+        (_, xf, yf, vf), tables = jax.lax.scan(
+            body, (p0, x, y, val), jnp.arange(1, frames.shape[1]))
+        return tables
+
+    return run(frames, x, y, val)
