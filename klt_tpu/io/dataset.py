@@ -85,3 +85,43 @@ def load_sequence_array(name: str, max_frames: int | None = None):
     n = len(seq) if max_frames is None else min(len(seq), max_frames)
     paths = [os.path.join(seq.directory, seq._files[i]) for i in range(n)]
     return native.load_pgm_batch(paths, seq.nrows, seq.ncols)
+
+
+DATASET_URLS = {
+    # reference: src/V2/download_dataset.py:7-10
+    "images_laptops": ("https://huggingface.co/datasets/FatimaSohailll/"
+                       "PPM-Image-Dataset-for-KLT-Feature-Tracking/resolve/"
+                       "main/images_laptops.zip"),
+    "images_traffic": ("https://huggingface.co/datasets/FatimaSohailll/"
+                       "PPM-Image-Dataset-for-KLT-Feature-Tracking/resolve/"
+                       "main/images_traffic.zip"),
+}
+
+
+def download_dataset(name: str, dest_root: str = "data",
+                     timeout: float = 60.0) -> str:
+    """Fetch and unzip a benchmark sequence (the analogue of
+    src/V2/download_dataset.py).  Requires network access; raises
+    RuntimeError with a clear message in offline environments."""
+    import io
+    import zipfile
+    import urllib.request
+
+    if name not in DATASET_URLS:
+        raise KeyError(f"unknown dataset '{name}'; "
+                       f"have {sorted(DATASET_URLS)}")
+    dest = os.path.join(dest_root, name)
+    if os.path.isdir(dest):
+        return dest
+    os.makedirs(dest_root, exist_ok=True)
+    try:
+        with urllib.request.urlopen(DATASET_URLS[name],
+                                    timeout=timeout) as r:
+            blob = r.read()
+    except Exception as e:  # offline / blocked egress
+        raise RuntimeError(
+            f"could not download '{name}' ({e}); place the unzipped "
+            f"sequence at {dest} or set KLT_DATA_ROOT") from e
+    with zipfile.ZipFile(io.BytesIO(blob)) as z:
+        z.extractall(dest_root)
+    return dest

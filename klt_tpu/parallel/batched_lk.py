@@ -185,6 +185,10 @@ def make_fused_pair_step(cfg: TrackingConfig):
     return step
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=4)
 def track_sequences_batched(frames, x, y, val, cfg: TrackingConfig):
     """Track B sequences through T frames with device-resident pyramid
     carry and one LK kernel invocation per level per step.
@@ -209,18 +213,14 @@ def track_sequences_batched(frames, x, y, val, cfg: TrackingConfig):
         p, gx, gy = vpyr(imgs)
         return tuple(p), tuple(gx), tuple(gy)
 
-    @jax.jit
-    def run(frames, x, y, val):
-        p0 = pyr_tuple(frames[:, 0])
+    p0 = pyr_tuple(frames[:, 0])
 
-        def body(carry, t):
-            p1, x, y, v = carry
-            p2 = pyr_tuple(frames[:, t])
-            xn, yn, vn = tfp(p1, p2, x, y, v)
-            return (p2, xn, yn, vn), (xn, yn, vn)
+    def body(carry, t):
+        p1, xc, yc, vc = carry
+        p2 = pyr_tuple(frames[:, t])
+        xn, yn, vn = tfp(p1, p2, xc, yc, vc)
+        return (p2, xn, yn, vn), (xn, yn, vn)
 
-        (_, xf, yf, vf), tables = jax.lax.scan(
-            body, (p0, x, y, val), jnp.arange(1, frames.shape[1]))
-        return tables
-
-    return run(frames, x, y, val)
+    (_, xf, yf, vf), tables = jax.lax.scan(
+        body, (p0, x, y, val), jnp.arange(1, frames.shape[1]))
+    return tables
