@@ -1,17 +1,17 @@
-"""Fused Gaussian-pyramid + gradient kernels (Pallas TPU).
+"""Fused Gaussian-pyramid + gradient kernel (Pallas TPU).
 
-One kernel call per pyramid level builds everything the tracker needs at
-that level — float conversion, pre-smoothing, both gradient maps, and
-the next level's pre-decimation smoothing — entirely VMEM-resident, with
-the separable convolutions tap-unrolled into shift-FMA loops on the VPU
-(f32 all the way: no bf16 rounding on the accuracy-critical path).  The
-only work left to XLA is the strided decimation between levels (Mosaic
-has no strided vector slices).
+ONE kernel call builds everything the tracker needs from a raw frame —
+float conversion, pre-smoothing, every level's gradient maps, and the
+inter-level smooth + decimation — entirely VMEM-resident.  The
+separable convolutions are tap-unrolled shift-FMA loops on the VPU (f32
+all the way: no bf16 rounding on the accuracy-critical path); the
+strided decimation, which Mosaic cannot express as a vector slice, is
+two bit-exact one-hot f32 matmuls on the MXU.
 
 This is the TPU analogue of the reference's V3 device-resident pyramid
 chain (src/V3/pyramidGPU.cu:186-235 + tiled convolutions
 src/V3/convolveGPU.cu:139-254), collapsed from ~10 kernel launches per
-frame to one per level.
+frame to one.
 
 Semantics match klt_tpu/ops/convolve.py (and therefore the C reference,
 src/V1/convolve.c:137-242): taps applied in reversed order, output
@@ -141,41 +141,6 @@ def _fused_call(h: int, w: int, cfg: TrackingConfig, in_dtype_name: str):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret_mode(),
-    )
-
-
-@functools.lru_cache(maxsize=32)
-def _level_call(h: int, w: int, cfg: TrackingConfig, first: bool,
-                with_smooth: bool, in_dtype_name: str):
-    """Pallas call for one level: [level image] -> gx, gy (+ presmoothed
-    level image when `first`, + next-level smoothing when `with_smooth`)."""
-    g_s, g_g, d_g, g_p = _taps(cfg)
-
-    def kernel(img_ref, *out_refs):
-        f = img_ref[:]
-        if f.dtype != jnp.float32:
-            # Mosaic can't cast uint8 -> f32 directly; hop through int32.
-            f = f.astype(jnp.int32).astype(jnp.float32)
-        i = 0
-        if first:
-            # pre-smoothing (reference: src/V1/trackFeatures.c:1296-1302)
-            f = _sep(f, g_s, g_s)
-            out_refs[i][:] = f
-            i += 1
-        tmp_d = _hconv(f, d_g)
-        tmp_g = _hconv(f, g_g)
-        out_refs[i][:] = _vconv(tmp_d, g_g)     # gradx
-        out_refs[i + 1][:] = _vconv(tmp_g, d_g)  # grady
-        if with_smooth:
-            out_refs[i + 2][:] = _sep(f, g_p, g_p)
-
-    n_out = 2 + int(first) + int(with_smooth)
-    out_shape = [jax.ShapeDtypeStruct((h, w), jnp.float32)] * n_out
-    return pl.pallas_call(
-        kernel,
-        out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out,
     )
 
 
