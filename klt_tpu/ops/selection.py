@@ -30,6 +30,13 @@ def corner_response(gradx: jax.Array, grady: jax.Array,
     only reads inside the border margin, matching the reference's scan
     bounds (src/V1/selectGoodFeatures.c:396-397).
     """
+    from ..pallas import pallas_enabled
+    if pallas_enabled():
+        from ..pallas.selection import fused_corner_response, supported
+        if supported(gradx.shape):
+            return fused_corner_response(gradx, grady, window_width,
+                                         window_height)
+
     ones_w = np.ones(window_width, dtype=np.float32)
     ones_h = np.ones(window_height, dtype=np.float32)
 

@@ -1,11 +1,10 @@
-"""Multi-host runtime initialization.
+"""Multi-host runtime helpers.
 
 The reference is single-process/single-device (SURVEY.md section 2:
-"Distributed communication backend: none exists").  This module is the
-from-scratch TPU equivalent: initialize jax.distributed across hosts,
-build a global mesh whose `data` axis spans all chips (ICI within a
-slice, DCN across hosts), and provide the per-host slice helpers that
-batch-tracking and bundle adjustment shard over.
+"Distributed communication backend: none exists").  These helpers are
+the from-scratch TPU equivalent, building on mesh.initialize_multihost:
+a global mesh whose `data` axis spans all chips (ICI within a slice,
+DCN across hosts) and the per-host batch-slicing contract.
 """
 
 from __future__ import annotations
@@ -14,16 +13,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-
-def initialize(coordinator: str | None = None,
-               num_processes: int | None = None,
-               process_id: int | None = None) -> None:
-    """jax.distributed.initialize with env-var fallback (no-op when
-    single-process)."""
-    if num_processes is not None and num_processes > 1:
-        jax.distributed.initialize(coordinator_address=coordinator,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
+from .mesh import initialize_multihost  # re-export  # noqa: F401
 
 
 def global_data_mesh(feat: int = 1) -> Mesh:
