@@ -87,3 +87,32 @@ def test_graft_entry_dryrun(devices8):
     assert out[0].shape == args[2].shape
 
     mod.dryrun_multichip(8)
+
+
+def test_batched_sequence_matches_single(provided_frames):
+    """track_sequences_batched must reproduce the single-sequence
+    pipeline exactly (jnp path on CPU)."""
+    import jax.numpy as jnp
+    from klt_tpu.config import TrackingConfig
+    from klt_tpu.runtime.pipeline import track_sequence
+    from klt_tpu.parallel.batched_lk import track_sequences_batched
+    import klt_tpu as klt
+
+    cfg = TrackingConfig(sequential_mode=True)
+    frames = np.stack(provided_frames[:4])
+    tracker = klt.KLTracker(cfg)
+    fl = klt.FeatureList.create(64)
+    tracker.select_good_features(frames[0], fl)
+
+    b = 3
+    fb = jnp.asarray(np.broadcast_to(frames, (b,) + frames.shape).copy())
+    xb = jnp.asarray(np.broadcast_to(fl.x, (b, 64)).copy())
+    yb = jnp.asarray(np.broadcast_to(fl.y, (b, 64)).copy())
+    vb = jnp.asarray(np.broadcast_to(fl.val, (b, 64)).copy())
+    out = track_sequences_batched(fb, xb, yb, vb, cfg)
+    ref = track_sequence(jnp.asarray(frames), jnp.asarray(fl.x),
+                         jnp.asarray(fl.y), jnp.asarray(fl.val), cfg)
+    for a, r in zip(out, ref):
+        for i in range(b):
+            np.testing.assert_array_equal(np.asarray(a[:, i]),
+                                          np.asarray(r))
