@@ -298,6 +298,12 @@ def track_level(stack1, stack2, x1, y1, x2, y2, active,
     """
     w, h = cfg.window_width, cfg.window_height
     nr, nc = stack1.shape[-2], stack1.shape[-1]
+    if nr < h + 1 or nc < w + 1:
+        # level smaller than the tracking window: every window is
+        # out of bounds before the first iteration (the reference's
+        # first _window_oob check fails for all positions)
+        status = jnp.where(active, jnp.int32(OOB), jnp.int32(TRACKED))
+        return x2, y2, status, jnp.zeros_like(status)
     if min(nr, nc) < max(h, w) + 2:
         return _track_level_gather(stack1, stack2, x1, y1, x2, y2,
                                    active, cfg)

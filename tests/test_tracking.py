@@ -118,3 +118,23 @@ def test_sequential_matches_nonsequential(provided_frames):
     np.testing.assert_array_equal(fl_a.val, fl_b.val)
     np.testing.assert_allclose(fl_a.x, fl_b.x, atol=1e-4)
     np.testing.assert_allclose(fl_a.y, fl_b.y, atol=1e-4)
+
+
+def test_tiny_coarsest_level_all_oob(provided_frames):
+    """search_range=60 derives a 3-level subsampling-8 pyramid whose
+    coarsest level (3x5 px) cannot fit the tracking window: every
+    feature must die OOB (the reference's first _window_oob check fails
+    for all positions), not crash."""
+    import jax.numpy as jnp
+    from klt_tpu.config import TrackingConfig, OOB
+    from klt_tpu.runtime.pipeline import track_sequence
+
+    cfg = TrackingConfig(sequential_mode=True, search_range=60)
+    assert cfg.n_pyramid_levels == 3 and cfg.subsampling == 8
+    frames = np.stack(provided_frames[:3])
+    n = 16
+    x = jnp.linspace(100.0, 200.0, n).astype(jnp.float32)
+    y = jnp.linspace(80.0, 150.0, n).astype(jnp.float32)
+    v = jnp.zeros(n, jnp.int32)
+    xs, ys, vs = track_sequence(jnp.asarray(frames), x, y, v, cfg)
+    assert (np.asarray(vs[0]) == OOB).all()
