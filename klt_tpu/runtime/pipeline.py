@@ -73,3 +73,49 @@ def prepare_pyramids(img, cfg: TrackingConfig):
 @functools.partial(jax.jit, static_argnums=1)
 def _prepare_jit(img, cfg: TrackingConfig):
     return _pyr_tuple(img, cfg)
+
+
+@functools.partial(jax.jit, static_argnums=4)
+def track_sequence_affine(frames, x, y, val, cfg: TrackingConfig):
+    """Whole-sequence tracking with the affine consistency check
+    running inside the compiled scan.
+
+    Carries the per-feature affine state (reference aff_* fields,
+    src/V1/klt.h:96-105) through the scan: reference patches saved at
+    each feature's first successful track, then re-verified against the
+    current frame every step; drifting features are killed
+    (src/V1/trackFeatures.c:1438-1497).
+
+    frames: uint8/f32 [T, H, W]; x, y f32 [N]; val i32 [N].
+    Returns (xs, ys, vals) of shape [T-1, N].
+    """
+    from ..ops.affine import AffineState, _affine_step_jit, _PATCH_BORDER
+    import jax.numpy as jnp
+
+    n = x.shape[0]
+    pw = cfg.affine_window_width + _PATCH_BORDER
+    ph = cfg.affine_window_height + _PATCH_BORDER
+    z = jnp.zeros((n, ph, pw), jnp.float32)
+    v0 = jnp.zeros(n, jnp.float32)
+    aff0 = (jnp.zeros(n, bool), z, z, z, v0, v0,
+            jnp.ones(n, jnp.float32), v0, v0, jnp.ones(n, jnp.float32))
+
+    pyr0 = _pyr_tuple(frames[0], cfg)
+
+    def body(carry, img):
+        (pyr1, gx1, gy1), xc, yc, vc, aff = carry
+        pyr2, gx2, gy2 = _pyr_tuple(img, cfg)
+        xn, yn, vn = track_features_pyramid(
+            list(pyr1), list(gx1), list(gy1), list(pyr2), list(gx2),
+            list(gy2), xc, yc, vc, cfg)
+        out = _affine_step_jit(
+            *aff, pyr1[0], gx1[0], gy1[0], pyr2[0], gx2[0], gy2[0],
+            xc, yc, xn, yn, vn, cfg)
+        aff_new = tuple(out[:10])
+        x_out, y_out, val_out = out[10], out[11], out[12]
+        return (((pyr2, gx2, gy2), x_out, y_out, val_out, aff_new),
+                (x_out, y_out, val_out))
+
+    (_, xf, yf, vf, _), tables = jax.lax.scan(
+        body, (pyr0, x, y, val, aff0), frames[1:])
+    return tables

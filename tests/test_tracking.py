@@ -138,3 +138,33 @@ def test_tiny_coarsest_level_all_oob(provided_frames):
     v = jnp.zeros(n, jnp.int32)
     xs, ys, vs = track_sequence(jnp.asarray(frames), x, y, v, cfg)
     assert (np.asarray(vs[0]) == OOB).all()
+
+
+def test_affine_scan_matches_tracker(provided_frames):
+    """track_sequence_affine (scan-resident affine state) must match
+    the per-pair KLTracker affine flow."""
+    import jax.numpy as jnp
+    from klt_tpu.config import TrackingConfig
+    from klt_tpu.runtime.pipeline import track_sequence_affine
+
+    cfg = TrackingConfig(sequential_mode=True, affine_consistency_check=2)
+    frames = np.stack(provided_frames[:4])
+    tracker = klt.KLTracker(cfg)
+    fl = klt.FeatureList.create(48)
+    tracker.select_good_features(frames[0], fl)
+    x0, y0, v0 = fl.x.copy(), fl.y.copy(), fl.val.copy()
+    ref = []
+    for i in range(1, 4):
+        tracker.track_features(frames[i - 1], frames[i], fl)
+        ref.append((fl.x.copy(), fl.y.copy(), fl.val.copy()))
+
+    xs, ys, vs = track_sequence_affine(
+        jnp.asarray(frames), jnp.asarray(x0), jnp.asarray(y0),
+        jnp.asarray(v0), cfg)
+    for t, (rx, ry, rv) in enumerate(ref):
+        assert (np.asarray(vs[t]) == rv).all()
+        both = rv >= 0
+        np.testing.assert_allclose(np.asarray(xs[t])[both], rx[both],
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(ys[t])[both], ry[both],
+                                   atol=1e-3)
