@@ -119,3 +119,59 @@ def track_sequence_affine(frames, x, y, val, cfg: TrackingConfig):
     (_, xf, yf, vf, _), tables = jax.lax.scan(
         body, (pyr0, x, y, val, aff0), frames[1:])
     return tables
+
+
+def track_sequence_stream(frames_iter, x, y, val, cfg: TrackingConfig,
+                          chunk: int = 64):
+    """Track an arbitrarily long sequence in O(chunk) device memory.
+
+    Streams frames through chunked `track_sequence_carry` dispatches,
+    carrying the previous chunk's last pyramid on device — the unbounded
+    version of the reference's sequential mode
+    (src/V1/trackFeatures.c:1285-1294: O(1) frames in memory).
+
+    frames_iter: iterable of uint8 [H, W] frames (the first frame
+    included); x, y f32 [N]; val i32 [N] host arrays.
+    Yields (frame_index, x, y, val) numpy snapshots after each chunk.
+    """
+    import numpy as np
+
+    it = iter(frames_iter)
+    first = next(it)
+    pyr = prepare_pyramids(jnp.asarray(first), cfg)
+    xd, yd, vd = jnp.asarray(x), jnp.asarray(y), jnp.asarray(val)
+
+    t = 0
+    done = False
+    while not done:
+        block = []
+        for _ in range(chunk):
+            try:
+                block.append(next(it))
+            except StopIteration:
+                done = True
+                break
+        if not block:
+            break
+        fb = jnp.asarray(np.stack(block))
+        (xd, yd, vd), pyr = _track_chunk_carry(pyr, fb, xd, yd, vd, cfg)
+        t += len(block)
+        yield t, np.asarray(xd), np.asarray(yd), np.asarray(vd)
+
+
+@functools.partial(jax.jit, static_argnums=5, donate_argnums=(0,))
+def _track_chunk_carry(pyr1_state, frames, x, y, val,
+                       cfg: TrackingConfig):
+    """Scan one frame chunk, carrying pyramids in (donated) device
+    buffers across dispatches."""
+    def body(carry, img):
+        (p1, g1x, g1y), x, y, v = carry
+        p2, g2x, g2y = _pyr_tuple(img, cfg)
+        xn, yn, vn = track_features_pyramid(
+            list(p1), list(g1x), list(g1y), list(p2), list(g2x),
+            list(g2y), x, y, v, cfg)
+        return ((p2, g2x, g2y), xn, yn, vn), None
+
+    (pyr2, xf, yf, vf), _ = jax.lax.scan(
+        body, (pyr1_state, x, y, val), frames)
+    return (xf, yf, vf), pyr2

@@ -168,3 +168,29 @@ def test_affine_scan_matches_tracker(provided_frames):
                                    atol=1e-3)
         np.testing.assert_allclose(np.asarray(ys[t])[both], ry[both],
                                    atol=1e-3)
+
+
+def test_stream_matches_track_sequence(provided_frames):
+    """Chunked streaming must match the single-scan pipeline."""
+    import jax.numpy as jnp
+    from klt_tpu.config import TrackingConfig
+    from klt_tpu.runtime.pipeline import (track_sequence,
+                                          track_sequence_stream)
+
+    cfg = TrackingConfig(sequential_mode=True)
+    frames = np.stack(provided_frames[:7])
+    tracker = klt.KLTracker(cfg)
+    fl = klt.FeatureList.create(48)
+    tracker.select_good_features(frames[0], fl)
+
+    ref = track_sequence(jnp.asarray(frames), jnp.asarray(fl.x),
+                         jnp.asarray(fl.y), jnp.asarray(fl.val), cfg)
+    last = None
+    for t, x, y, v in track_sequence_stream(iter(frames), fl.x, fl.y,
+                                            fl.val, cfg, chunk=3):
+        last = (t, x, y, v)
+    t, x, y, v = last
+    assert t == 6
+    np.testing.assert_array_equal(v, np.asarray(ref[2][-1]))
+    np.testing.assert_array_equal(x, np.asarray(ref[0][-1]))
+    np.testing.assert_array_equal(y, np.asarray(ref[1][-1]))
