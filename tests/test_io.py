@@ -117,3 +117,44 @@ def test_ppm_roundtrip_and_overlay(tmp_path):
     p = tmp_path / "o.ppm"
     write_ppm(str(p), rgb)
     np.testing.assert_array_equal(read_ppm(str(p)), rgb)
+
+
+def test_checkpoint_resume_via_feature_table(tmp_path):
+    """The feature-table files are the checkpoint format (reference:
+    KLTFT1 binary + KLTExtractFeatureList resume,
+    src/V1/writeFeatures.c:294-301, src/V1/storeFeatures.c:42-66):
+    tracking resumed from a stored frame must match uninterrupted
+    tracking bit-for-bit (positions are stored as raw f32)."""
+    import klt_tpu as klt
+    from klt_tpu.config import TrackingConfig
+    from conftest import REF_DATA
+    d = os.path.join(REF_DATA, "images_provided")
+    if not os.path.isdir(d):
+        pytest.skip("dataset unavailable")
+    frames = [np.asarray(klt.read_pgm(os.path.join(d, f"img{i}.pgm")))
+              for i in range(8)]
+
+    cfg = TrackingConfig(sequential_mode=True)
+    tr = klt.KLTracker(cfg)
+    fl = klt.FeatureList.create(64)
+    ft = klt.FeatureTable.create(8, 64)
+    tr.select_good_features(frames[0], fl)
+    ft.store_list(fl, 0)
+    for i in range(1, 8):
+        tr.track_features(frames[i - 1], frames[i], fl)
+        ft.store_list(fl, i)
+    full = (fl.x.copy(), fl.y.copy(), fl.val.copy())
+
+    # checkpoint at frame 4, restart cold, resume
+    path = str(tmp_path / "ckpt.ft")
+    klt.write_feature_table(ft, path)
+    ft2 = klt.read_feature_table(path)
+    fl2 = ft2.extract_list(4)
+    tr2 = klt.KLTracker(cfg)
+    for i in range(5, 8):
+        tr2.track_features(frames[i - 1], frames[i], fl2)
+
+    np.testing.assert_array_equal(fl2.val, full[2])
+    alive = full[2] >= 0
+    np.testing.assert_array_equal(fl2.x[alive], full[0][alive])
+    np.testing.assert_array_equal(fl2.y[alive], full[1][alive])
