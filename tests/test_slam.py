@@ -98,3 +98,66 @@ def test_ba_sharded_matches_single():
                                rtol=2e-4)
     np.testing.assert_allclose(np.asarray(lm1), np.asarray(lm8),
                                rtol=1e-3, atol=1e-5)
+
+
+def _synthetic_pose_graph(rng, n_pose=6, noise=0.01):
+    from klt_tpu.slam.geometry import so3_exp
+    from klt_tpu.slam.pose_graph import PoseGraph
+    R_true, t_true = [], []
+    for p in range(n_pose):
+        w = rng.randn(3).astype(np.float32) * 0.1
+        R_true.append(np.asarray(so3_exp(jnp.asarray(w[None]))[0]))
+        t_true.append(rng.randn(3).astype(np.float32))
+    R_true, t_true = np.stack(R_true), np.stack(t_true)
+
+    # odometry chain + one loop closure
+    ei = list(range(n_pose - 1)) + [0]
+    ej = list(range(1, n_pose)) + [n_pose - 1]
+    Rz, tz = [], []
+    for i, j in zip(ei, ej):
+        Rr = R_true[i] @ R_true[j].T
+        tr = t_true[i] - Rr @ t_true[j]
+        dw = rng.randn(3).astype(np.float32) * noise
+        Rz.append(np.asarray(so3_exp(jnp.asarray(dw[None]))[0]) @ Rr)
+        tz.append(tr + noise * rng.randn(3).astype(np.float32))
+
+    # noisy initialization (chain integration drifts)
+    R0 = [R_true[0]]
+    t0 = [t_true[0]]
+    for p in range(1, n_pose):
+        dw = rng.randn(3).astype(np.float32) * 0.05
+        R0.append(np.asarray(so3_exp(jnp.asarray(dw[None]))[0]) @ R_true[p])
+        t0.append(t_true[p] + 0.05 * rng.randn(3).astype(np.float32))
+
+    pg = PoseGraph(
+        R=jnp.asarray(np.stack(R0)), t=jnp.asarray(np.stack(t0)),
+        ei=jnp.asarray(ei, jnp.int32), ej=jnp.asarray(ej, jnp.int32),
+        Rz=jnp.asarray(np.stack(Rz)), tz=jnp.asarray(np.stack(tz)),
+        weight=jnp.ones(len(ei), jnp.float32))
+    return pg, R_true, t_true
+
+
+def test_pose_graph_converges():
+    from klt_tpu.slam.pose_graph import optimize_pose_graph
+    rng = np.random.RandomState(5)
+    pg, R_true, t_true = _synthetic_pose_graph(rng, noise=0.0)
+    R, t, costs = optimize_pose_graph(pg, iterations=15)
+    costs = np.asarray(costs)
+    assert costs[-1] < 1e-6
+    # gauge fixed at pose 0: absolute poses recovered
+    assert np.abs(np.asarray(t) - t_true).max() < 1e-2
+    assert np.abs(np.asarray(R) - R_true).max() < 1e-2
+
+
+def test_pose_graph_sharded_matches():
+    from klt_tpu.slam.pose_graph import optimize_pose_graph
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from klt_tpu.parallel.mesh import make_mesh
+    rng = np.random.RandomState(6)
+    pg, *_ = _synthetic_pose_graph(rng, n_pose=5, noise=0.02)
+    mesh = make_mesh({"data": 8})
+    R1, t1, c1 = optimize_pose_graph(pg, iterations=6)
+    R8, t8, c8 = optimize_pose_graph(pg, mesh=mesh, iterations=6)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t8),
+                               rtol=1e-3, atol=1e-5)
