@@ -456,6 +456,11 @@ def track_features_pyramid(pyr1, gradx1, grady1, pyr2, gradx2, grady2,
     nr0, nc0 = pyr1[0].shape[-2], pyr1[0].shape[-1]
     alive = val >= 0
 
+    from ..utils.checks import check_in_bounds, check_same_shape
+    check_same_shape(pyr1[0], pyr2[0], "frame pair")
+    check_in_bounds(jnp.where(alive, x, 0.0), jnp.where(alive, y, 0.0),
+                    nc0, nr0, "input feature positions")
+
     xloc, yloc = x, y
     for _ in range(nlev):
         xloc = xloc / s

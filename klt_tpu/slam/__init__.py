@@ -9,14 +9,18 @@ tracks into a minimal TPU-native SLAM pipeline:
 * ba        — sparse bundle adjustment via Schur complement, with the
               observation axis sharded over a device mesh (psum
               collectives inside shard_map)
+* pose_graph — SE(3) pose-graph optimization over relative-pose edges,
+              edge axis sharded the same way
 """
 
 from .chains import tracks_from_table, select_keyframes
 from .geometry import se3_exp, se3_apply, project
 from .ba import BAProblem, bundle_adjust
+from .pose_graph import PoseGraph, optimize_pose_graph
 
 __all__ = [
     "tracks_from_table", "select_keyframes",
     "se3_exp", "se3_apply", "project",
     "BAProblem", "bundle_adjust",
+    "PoseGraph", "optimize_pose_graph",
 ]

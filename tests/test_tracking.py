@@ -194,3 +194,27 @@ def test_stream_matches_track_sequence(provided_frames):
     np.testing.assert_array_equal(v, np.asarray(ref[2][-1]))
     np.testing.assert_array_equal(x, np.asarray(ref[0][-1]))
     np.testing.assert_array_equal(y, np.asarray(ref[1][-1]))
+
+
+def test_debug_checks_warn(provided_frames, monkeypatch):
+    """KLT_TPU_DEBUG=1 activates the reference's assert set as
+    warnings (src/V1/trackFeatures.c:51 in-bounds check analogue)."""
+    import warnings
+    import jax.numpy as jnp
+    from klt_tpu.config import TrackingConfig
+    from klt_tpu.errors import KLTWarningCategory
+    from klt_tpu.parallel.batch import make_pair_step
+
+    monkeypatch.setenv("KLT_TPU_DEBUG", "1")
+    cfg = TrackingConfig()
+    step = make_pair_step(cfg)
+    img = jnp.asarray(provided_frames[0])
+    x = jnp.asarray([5000.0, 50.0], jnp.float32)  # one out of bounds
+    y = jnp.asarray([50.0, 50.0], jnp.float32)
+    v = jnp.zeros(2, jnp.int32)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = step(img, jnp.asarray(provided_frames[1]), x, y, v)
+        import jax
+        jax.block_until_ready(out)
+    assert any(issubclass(w.category, KLTWarningCategory) for w in rec)
