@@ -10,17 +10,19 @@ data-dependent `break`s.
 Hot-path layout (the V3-CUDA analogue, re-thought for the MXU):
 * per level, each feature gets a VMEM-resident patch of the second image
   stack (intensity + gradients) extracted ONCE via one-hot matmuls
-  (interp.onehot_extract) — TPU gathers serialize on the scalar core and
-  are avoided entirely;
-* every Newton iteration re-samples its window from the resident patch
-  with two bilinear-weighted selection matmuls
-  (interp.select_windows_bilinear) — pure MXU/VPU work, ~1 us for
-  hundreds of features;
+  (interp.onehot_extract_packed) — TPU gathers serialize on the scalar
+  core and are avoided entirely;
+* on TPU, the ENTIRE masked Newton iteration loop of a level runs as one
+  Pallas kernel on those patches (_track_level_kernel ->
+  pallas/lk.py) — this removes the ~34 us/iteration of XLA op overhead
+  that dominates a while_loop formulation;
+* the pure-XLA patch-resident path below (track_level's tail) is the
+  semantic oracle and non-TPU fallback: per-iteration window selection
+  via bilinear-weighted one-hot matmuls (interp.select_windows_bilinear);
 * first-image windows are sampled once per level (the C code recomputes
   them every iteration — same values);
-* the iteration loop is a while_loop that exits as soon as every feature
-  has converged or died, recovering the reference's per-feature early
-  exit in aggregate;
+* iteration loops exit as soon as every feature has converged or died,
+  recovering the reference's per-feature early exit in aggregate;
 * a feature that moves beyond its patch margin stalls (no update) and
   the level re-anchors: patches are re-extracted at the current
   positions and the stalled iteration is redone with exact samples —
@@ -451,13 +453,24 @@ def track_features_pyramid(pyr1, gradx1, grady1, pyr2, gradx2, grady2,
     classification (src/V1/trackFeatures.c:1343-1437): lost features get
     x = y = -1 and the failure code.
     """
+    stacks1 = [jnp.stack([p, a, b])
+               for p, a, b in zip(pyr1, gradx1, grady1)]
+    stacks2 = [jnp.stack([p, a, b])
+               for p, a, b in zip(pyr2, gradx2, grady2)]
+    return track_features_pyramid_stacks(stacks1, stacks2, x, y, val, cfg)
+
+
+def track_features_pyramid_stacks(stacks1, stacks2, x, y, val,
+                                  cfg: TrackingConfig):
+    """Same driver on finest-first [3, H_l, W_l] stacks (the pyramid
+    kernel's native output layout — no re-stacking on the hot path)."""
     s = np.float32(cfg.subsampling)
     nlev = cfg.n_pyramid_levels
-    nr0, nc0 = pyr1[0].shape[-2], pyr1[0].shape[-1]
+    nr0, nc0 = stacks1[0].shape[-2], stacks1[0].shape[-1]
     alive = val >= 0
 
     from ..utils.checks import check_in_bounds, check_same_shape
-    check_same_shape(pyr1[0], pyr2[0], "frame pair")
+    check_same_shape(stacks1[0], stacks2[0], "frame pair")
     check_in_bounds(jnp.where(alive, x, 0.0), jnp.where(alive, y, 0.0),
                     nc0, nr0, "input feature positions")
 
@@ -477,9 +490,7 @@ def track_features_pyramid(pyr1, gradx1, grady1, pyr2, gradx2, grady2,
         xout = jnp.where(in_loop, xout * s, xout)
         yout = jnp.where(in_loop, yout * s, yout)
 
-        stack1 = jnp.stack([pyr1[r], gradx1[r], grady1[r]])
-        stack2 = jnp.stack([pyr2[r], gradx2[r], grady2[r]])
-        x2, y2, st, _ = track_level(stack1, stack2, xloc, yloc,
+        x2, y2, st, _ = track_level(stacks1[r], stacks2[r], xloc, yloc,
                                     xout, yout, in_loop, cfg)
 
         xout = jnp.where(in_loop, x2, xout)

@@ -63,3 +63,16 @@ def build_image_pyramids(img: jax.Array, cfg: TrackingConfig):
             ncols, nrows = shapes[lvl + 1]
             pyr.append(sm[..., sh::s, sh::s][..., :nrows, :ncols])
     return pyr, gradx, grady
+
+
+def build_pyramid_stacks(img: jax.Array, cfg: TrackingConfig):
+    """Finest-first [3, H_l, W_l] (intensity, gradx, grady) stacks —
+    the layout the LK level driver consumes directly.  Pallas-fused on
+    TPU; jnp fallback stacks the separate maps."""
+    from ..pallas import pallas_enabled
+    if pallas_enabled():
+        from ..pallas.pyramid import supported, fused_build_pyramid_stacks
+        if supported(img.shape, cfg):
+            return fused_build_pyramid_stacks(img, cfg)
+    pyr, gx, gy = build_image_pyramids(img, cfg)
+    return [jnp.stack([p, a, b]) for p, a, b in zip(pyr, gx, gy)]

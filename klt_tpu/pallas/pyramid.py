@@ -103,7 +103,11 @@ def _decimate(x, h_out, w_out, s, sh):
 @functools.lru_cache(maxsize=32)
 def _fused_call(h: int, w: int, cfg: TrackingConfig, in_dtype_name: str):
     """One Pallas call building the whole pyramid: presmooth + per-level
-    gradients + inter-level smooth/decimate, all VMEM-resident."""
+    gradients + inter-level smooth/decimate, all VMEM-resident.
+
+    Emits one STACKED [3, H_l, W_l] output per level (intensity, gradx,
+    grady) — exactly the layout the LK level driver consumes, so the
+    scan hot path never re-stacks."""
     g_s, g_g, d_g, g_p = _taps(cfg)
     from ..config import pyramid_shapes
     shapes = pyramid_shapes(w, h, cfg)
@@ -112,32 +116,29 @@ def _fused_call(h: int, w: int, cfg: TrackingConfig, in_dtype_name: str):
     sh = s // 2
 
     def kernel(img_ref, *out_refs):
-        pyr_refs = out_refs[:nlev]
-        gx_refs = out_refs[nlev:2 * nlev]
-        gy_refs = out_refs[2 * nlev:]
         f = img_ref[:]
         if f.dtype != jnp.float32:
             f = f.astype(jnp.int32).astype(jnp.float32)
         level = _sep(f, g_s, g_s)  # pre-smoothing (trackFeatures.c:1296)
         for lvl in range(nlev):
-            pyr_refs[lvl][:] = level
             tmp_d = _hconv(level, d_g)
             tmp_g = _hconv(level, g_g)
-            gx_refs[lvl][:] = _vconv(tmp_d, g_g)
-            gy_refs[lvl][:] = _vconv(tmp_g, d_g)
+            out_refs[lvl][0] = level
+            out_refs[lvl][1] = _vconv(tmp_d, g_g)
+            out_refs[lvl][2] = _vconv(tmp_g, d_g)
             if lvl < nlev - 1:
                 sm = _sep(level, g_p, g_p)
                 ncols, nrows = shapes[lvl + 1]
                 level = _decimate(sm, nrows, ncols, s, sh)
 
     from . import interpret_mode
-    out_shape = [jax.ShapeDtypeStruct((r, c), jnp.float32)
-                 for (c, r) in shapes] * 3
+    out_shape = [jax.ShapeDtypeStruct((3, r, c), jnp.float32)
+                 for (c, r) in shapes]
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 * nlev),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * nlev,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret_mode(),
@@ -154,14 +155,20 @@ def supported(img_shape, cfg: TrackingConfig) -> bool:
     return True
 
 
+def fused_build_pyramid_stacks(img: jax.Array, cfg: TrackingConfig):
+    """Finest-first list of [3, H_l, W_l] (intensity, gradx, grady)
+    stacks — the LK driver's native input layout."""
+    h, w = img.shape[-2], img.shape[-1]
+    call = _fused_call(h, w, cfg, str(img.dtype))
+    outs = call(img)
+    return list(outs) if isinstance(outs, (list, tuple)) else [outs]
+
+
 def fused_build_image_pyramids(img: jax.Array, cfg: TrackingConfig):
     """Drop-in Pallas replacement for ops.pyramid.build_image_pyramids.
 
     img: uint8/f32 [H, W].  Returns (pyr, gradx, grady) finest-first lists.
     """
-    h, w = img.shape[-2], img.shape[-1]
-    nlev = cfg.n_pyramid_levels
-    call = _fused_call(h, w, cfg, str(img.dtype))
-    outs = call(img)
-    return (list(outs[:nlev]), list(outs[nlev:2 * nlev]),
-            list(outs[2 * nlev:]))
+    stacks = fused_build_pyramid_stacks(img, cfg)
+    return ([s[0] for s in stacks], [s[1] for s in stacks],
+            [s[2] for s in stacks])

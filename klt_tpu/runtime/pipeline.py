@@ -16,13 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TrackingConfig
-from ..ops.pyramid import build_image_pyramids
-from ..ops.lk import track_features_pyramid
-
-
-def _pyr_tuple(img, cfg):
-    pyr, gx, gy = build_image_pyramids(img, cfg)
-    return tuple(pyr), tuple(gx), tuple(gy)
+from ..ops.pyramid import build_image_pyramids, build_pyramid_stacks
+from ..ops.lk import track_features_pyramid, track_features_pyramid_stacks
 
 
 @functools.partial(jax.jit, static_argnums=4)
@@ -31,48 +26,49 @@ def track_sequence(frames, x, y, val, cfg: TrackingConfig):
 
     frames: uint8/f32 [T, H, W]; x, y f32 [N]; val i32 [N].
     Returns (xs, ys, vals) of shape [T-1, N]: the state after tracking
-    into each frame t (t = 1..T-1).
+    into each frame t (t = 1..T-1).  Pyramid levels travel as stacked
+    [3, H_l, W_l] arrays — the pyramid kernel's native output — so the
+    scan body performs no re-stacking.
     """
-    pyr0 = _pyr_tuple(frames[0], cfg)
+    st0 = tuple(build_pyramid_stacks(frames[0], cfg))
 
     def body(carry, img):
-        (pyr1, gx1, gy1), x, y, val = carry
-        pyr2, gx2, gy2 = _pyr_tuple(img, cfg)
-        xn, yn, vn = track_features_pyramid(
-            list(pyr1), list(gx1), list(gy1), list(pyr2), list(gx2),
-            list(gy2), x, y, val, cfg)
-        return ((pyr2, gx2, gy2), xn, yn, vn), (xn, yn, vn)
+        st1, x, y, val = carry
+        st2 = tuple(build_pyramid_stacks(img, cfg))
+        xn, yn, vn = track_features_pyramid_stacks(
+            list(st1), list(st2), x, y, val, cfg)
+        return (st2, xn, yn, vn), (xn, yn, vn)
 
     (_, xf, yf, vf), tables = jax.lax.scan(
-        body, (pyr0, x, y, val), frames[1:])
+        body, (st0, x, y, val), frames[1:])
     return tables
 
 
 @functools.partial(jax.jit, static_argnums=3)
 def track_pair_carry(pyr1_state, img2, feat, cfg: TrackingConfig):
-    """One frame-pair step with explicit device-resident pyramid carry.
+    """One frame-pair step with explicit device-resident pyramid carry
+    (stacked-level state, as produced by prepare_pyramids).
 
     Returns ((x, y, val), pyr2_state).  Donatable building block for
     host-driven streaming (e.g. with lost-feature replacement between
     frames, which needs the host's greedy suppression).
     """
-    pyr1, gx1, gy1 = pyr1_state
     x, y, val = feat
-    pyr2, gx2, gy2 = _pyr_tuple(img2, cfg)
-    xn, yn, vn = track_features_pyramid(
-        list(pyr1), list(gx1), list(gy1), list(pyr2), list(gx2), list(gy2),
-        x, y, val, cfg)
-    return (xn, yn, vn), (pyr2, gx2, gy2)
+    st2 = tuple(build_pyramid_stacks(img2, cfg))
+    xn, yn, vn = track_features_pyramid_stacks(
+        list(pyr1_state), list(st2), x, y, val, cfg)
+    return (xn, yn, vn), st2
 
 
 def prepare_pyramids(img, cfg: TrackingConfig):
-    """Jitted pyramid builder for the first frame of a stream."""
+    """Jitted pyramid builder (stacked levels) for the first frame of a
+    stream."""
     return _prepare_jit(img, cfg)
 
 
 @functools.partial(jax.jit, static_argnums=1)
 def _prepare_jit(img, cfg: TrackingConfig):
-    return _pyr_tuple(img, cfg)
+    return tuple(build_pyramid_stacks(img, cfg))
 
 
 @functools.partial(jax.jit, static_argnums=4)
@@ -100,20 +96,20 @@ def track_sequence_affine(frames, x, y, val, cfg: TrackingConfig):
     aff0 = (jnp.zeros(n, bool), z, z, z, v0, v0,
             jnp.ones(n, jnp.float32), v0, v0, jnp.ones(n, jnp.float32))
 
-    pyr0 = _pyr_tuple(frames[0], cfg)
+    pyr0 = tuple(build_pyramid_stacks(frames[0], cfg))
 
     def body(carry, img):
-        (pyr1, gx1, gy1), xc, yc, vc, aff = carry
-        pyr2, gx2, gy2 = _pyr_tuple(img, cfg)
-        xn, yn, vn = track_features_pyramid(
-            list(pyr1), list(gx1), list(gy1), list(pyr2), list(gx2),
-            list(gy2), xc, yc, vc, cfg)
+        st1, xc, yc, vc, aff = carry
+        st2 = tuple(build_pyramid_stacks(img, cfg))
+        xn, yn, vn = track_features_pyramid_stacks(
+            list(st1), list(st2), xc, yc, vc, cfg)
         out = _affine_step_jit(
-            *aff, pyr1[0], gx1[0], gy1[0], pyr2[0], gx2[0], gy2[0],
+            *aff, st1[0][0], st1[0][1], st1[0][2],
+            st2[0][0], st2[0][1], st2[0][2],
             xc, yc, xn, yn, vn, cfg)
         aff_new = tuple(out[:10])
         x_out, y_out, val_out = out[10], out[11], out[12]
-        return (((pyr2, gx2, gy2), x_out, y_out, val_out, aff_new),
+        return ((st2, x_out, y_out, val_out, aff_new),
                 (x_out, y_out, val_out))
 
     (_, xf, yf, vf, _), tables = jax.lax.scan(
@@ -165,13 +161,12 @@ def _track_chunk_carry(pyr1_state, frames, x, y, val,
     """Scan one frame chunk, carrying pyramids in (donated) device
     buffers across dispatches."""
     def body(carry, img):
-        (p1, g1x, g1y), x, y, v = carry
-        p2, g2x, g2y = _pyr_tuple(img, cfg)
-        xn, yn, vn = track_features_pyramid(
-            list(p1), list(g1x), list(g1y), list(p2), list(g2x),
-            list(g2y), x, y, v, cfg)
-        return ((p2, g2x, g2y), xn, yn, vn), None
+        st1, x, y, v = carry
+        st2 = tuple(build_pyramid_stacks(img, cfg))
+        xn, yn, vn = track_features_pyramid_stacks(
+            list(st1), list(st2), x, y, v, cfg)
+        return (st2, xn, yn, vn), None
 
-    (pyr2, xf, yf, vf), _ = jax.lax.scan(
+    (st2, xf, yf, vf), _ = jax.lax.scan(
         body, (pyr1_state, x, y, val), frames)
-    return (xf, yf, vf), pyr2
+    return (xf, yf, vf), st2
