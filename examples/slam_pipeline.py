@@ -56,8 +56,12 @@ def main():
     # front-end -> back-end handoff
     tid, frame, u, v = tracks_from_table(ft.x, ft.y, ft.val, min_length=3)
     kfs = select_keyframes(ft.val, overlap_thresh=0.8)
+    if len(kfs) < 3:
+        # short well-tracked clip: take evenly spaced keyframes so the
+        # BA demo has multiple views
+        kfs = np.arange(0, n_frames, max(1, n_frames // 4), dtype=np.int32)
     print(f"{tid.max() + 1} tracks / {len(tid)} observations; "
-          f"keyframes: {list(kfs)}")
+          f"keyframes: {[int(k) for k in kfs]}")
 
     # keep observations on keyframes only, remap frame -> pose index
     kf_set = {int(f): i for i, f in enumerate(kfs)}
@@ -71,8 +75,10 @@ def main():
     lm_idx = np.asarray([remap[t] for t in tid], np.int32)
     cam_idx = np.asarray([kf_set[int(f)] for f in frame], np.int32)
 
+    if len(lm_idx) == 0:
+        sys.exit("no multi-keyframe tracks; nothing to adjust")
     n_pose = len(kfs)
-    n_lm = lm_idx.max() + 1
+    n_lm = int(lm_idx.max()) + 1
     h, w = seq.nrows, seq.ncols
     fx = fy = 0.9 * w
     cx, cy = w / 2.0, h / 2.0
