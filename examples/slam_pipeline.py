@@ -55,6 +55,8 @@ def main():
 
     # front-end -> back-end handoff
     tid, frame, u, v = tracks_from_table(ft.x, ft.y, ft.val, min_length=3)
+    if len(tid) == 0:
+        sys.exit("no tracks of length >= 3; nothing to adjust")
     kfs = select_keyframes(ft.val, overlap_thresh=0.8)
     if len(kfs) < 3:
         # short well-tracked clip: take evenly spaced keyframes so the

@@ -160,7 +160,9 @@ typedef struct {
   uint8_t *out;
   int64_t n, h, w;
   int64_t begin, end;
-  int64_t failed; /* 0 ok, else 1-based file index */
+  int64_t failed;     /* 0 ok, else 1-based file index */
+  int64_t inline_run; /* 1 if pthread_create failed and the stripe ran
+                         inline on the calling thread (no join) */
 } loader_job;
 
 static int read_pgm_into(const char *path, uint8_t *dst, int64_t h,
@@ -244,10 +246,16 @@ int64_t klt_load_pgm_batch(const char *const *paths, int64_t n,
     jobs[t].begin = n * t / nt;
     jobs[t].end = n * (t + 1) / nt;
     jobs[t].failed = 0;
-    pthread_create(&tids[t], NULL, loader_worker, &jobs[t]);
+    /* on thread-creation failure, run the stripe inline so it is
+       neither skipped nor joined as an uninitialized pthread_t */
+    jobs[t].inline_run = pthread_create(&tids[t], NULL, loader_worker,
+                                        &jobs[t]) != 0;
+    if (jobs[t].inline_run)
+      loader_worker(&jobs[t]);
   }
   for (t = 0; t < nt; t++)
-    pthread_join(tids[t], NULL);
+    if (!jobs[t].inline_run)
+      pthread_join(tids[t], NULL);
   for (t = 0; t < nt; t++)
     if (jobs[t].failed)
       return jobs[t].failed;

@@ -63,12 +63,21 @@ def track_batch(frames, x, y, val, cfg: TrackingConfig,
 
     frames: uint8 [B, T, H, W]; x, y f32 [B, N]; val i32 [B, N].
     Returns per-frame tables (xs, ys, vals) of shape [T-1, B, N].
+
+    Delegates to the scanned, device-resident
+    `parallel.batched_lk.track_sequences_batched` (one dispatch for the
+    whole sequence instead of one per frame pair); with a mesh the
+    inputs are placed on (data, feat) shardings first and the scan runs
+    sharded.
     """
-    step = make_batch_step(cfg, mesh, feat_axis=feat_axis)
-    xs, ys, vs = [], [], []
-    for t in range(frames.shape[1] - 1):
-        x, y, val = step(frames[:, t], frames[:, t + 1], x, y, val)
-        xs.append(x)
-        ys.append(y)
-        vs.append(val)
-    return jnp.stack(xs), jnp.stack(ys), jnp.stack(vs)
+    from .batched_lk import track_sequences_batched
+
+    if mesh is not None:
+        img_s = NamedSharding(mesh, P("data", None, None, None))
+        feat_p = P("data", feat_axis) if feat_axis else P("data", None)
+        feat_s = NamedSharding(mesh, feat_p)
+        frames = jax.device_put(frames, img_s)
+        x = jax.device_put(x, feat_s)
+        y = jax.device_put(y, feat_s)
+        val = jax.device_put(val, feat_s)
+    return track_sequences_batched(frames, x, y, val, cfg)

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..config import TrackingConfig, TRACKED, SMALL_DET, OOB
 from ..ops.lk import (_window_oob, _final_status, _kernel_patch_size,
-                      track_features_pyramid)
+                      _track_level_gather, track_features_pyramid)
 from ..ops.interp import onehot_extract_packed
 from ..ops.pyramid import build_image_pyramids
 
@@ -108,6 +108,29 @@ def _track_level_kernel_batched(stack1, stack2, x1, y1, x2, y2, active,
             status.reshape(b, f), iters.reshape(b, f))
 
 
+def _track_level_batched(stack1, stack2, x1, y1, x2, y2, active,
+                         cfg: TrackingConfig):
+    """Batched track_level with ops.lk.track_level's static shape
+    dispatch: a level smaller than the tracking window is all-OOB, and
+    a level smaller than the kernel patch falls back to the per-sequence
+    gather oracle — so batched results match the single-sequence path
+    on degenerate pyramid shapes (e.g. 48x48 frames)."""
+    w, h = cfg.window_width, cfg.window_height
+    nr, nc = stack1.shape[-2], stack1.shape[-1]
+    if nr < h + 1 or nc < w + 1:
+        status = jnp.where(active, jnp.int32(OOB), jnp.int32(TRACKED))
+        return x2, y2, status, jnp.zeros_like(status)
+    from ..pallas import pallas_enabled
+    k = _kernel_patch_size(nr, nc, cfg)
+    if (pallas_enabled() and min(nr, nc) >= k and max(h, w) + 3 <= k):
+        return _track_level_kernel_batched(stack1, stack2, x1, y1,
+                                           x2, y2, active, cfg)
+    return jax.vmap(
+        lambda s1, s2, a, b, c, d, m:
+        _track_level_gather(s1, s2, a, b, c, d, m, cfg)
+    )(stack1, stack2, x1, y1, x2, y2, active)
+
+
 def track_features_pyramid_batched(pyr1, gradx1, grady1, pyr2, gradx2,
                                    grady2, x, y, val,
                                    cfg: TrackingConfig):
@@ -138,7 +161,7 @@ def track_features_pyramid_batched(pyr1, gradx1, grady1, pyr2, gradx2,
 
         stack1 = jnp.stack([pyr1[r], gradx1[r], grady1[r]], axis=1)
         stack2 = jnp.stack([pyr2[r], gradx2[r], grady2[r]], axis=1)
-        x2, y2, st, _ = _track_level_kernel_batched(
+        x2, y2, st, _ = _track_level_batched(
             stack1, stack2, xloc, yloc, xout, yout, in_loop, cfg)
 
         xout = jnp.where(in_loop, x2, xout)
@@ -188,19 +211,28 @@ def make_fused_pair_step(cfg: TrackingConfig):
 import functools
 
 
-@functools.partial(jax.jit, static_argnums=4)
 def track_sequences_batched(frames, x, y, val, cfg: TrackingConfig):
     """Track B sequences through T frames with device-resident pyramid
     carry and one LK kernel invocation per level per step.
 
     frames: uint8 [B, T, H, W]; x, y f32 [B, N]; val i32 [B, N].
     Returns (xs, ys, vals) of shape [T-1, B, N].
-    """
+
+    The pallas on/off decision (env KLT_TPU_NO_PALLAS / backend) is part
+    of the jit cache key, so toggling the env between calls retraces
+    instead of silently reusing the stale compiled path."""
     from ..pallas import pallas_enabled
+    return _track_sequences_batched(frames, x, y, val, cfg,
+                                    pallas_enabled())
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _track_sequences_batched(frames, x, y, val, cfg: TrackingConfig,
+                             use_pallas: bool):
     vpyr = jax.vmap(lambda im: build_image_pyramids(im, cfg))
 
     def tfp(p1, p2, x, y, v):
-        if pallas_enabled():
+        if use_pallas:
             return track_features_pyramid_batched(
                 p1[0], p1[1], p1[2], p2[0], p2[1], p2[2], x, y, v, cfg)
         return jax.vmap(

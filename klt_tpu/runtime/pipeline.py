@@ -149,8 +149,20 @@ def track_sequence_stream(frames_iter, x, y, val, cfg: TrackingConfig,
                 break
         if not block:
             break
-        fb = jnp.asarray(np.stack(block))
-        (xd, yd, vd), pyr = _track_chunk_carry(pyr, fb, xd, yd, vd, cfg)
+        # full chunks share one compiled program; a partial tail is
+        # dispatched as power-of-two sub-chunks so the process compiles
+        # at most log2(chunk) tail programs total instead of one per
+        # distinct sequence length
+        frames_np = np.stack(block)
+        off = 0
+        rem = len(block)
+        while rem:
+            step = chunk if rem >= chunk else 1 << (rem.bit_length() - 1)
+            fb = jnp.asarray(frames_np[off:off + step])
+            (xd, yd, vd), pyr = _track_chunk_carry(pyr, fb, xd, yd, vd,
+                                                   cfg)
+            off += step
+            rem -= step
         t += len(block)
         yield t, np.asarray(xd), np.asarray(yd), np.asarray(vd)
 

@@ -54,11 +54,10 @@ class KLTracker:
         self.sequential = self.cfg.sequential_mode
         self._pyr_last = None  # (pyr, gradx, grady) tuples of device arrays
         self._affine = None    # AffineState for consistency checking
-        if self.cfg.affine_consistency_check >= 1 and \
-                self.cfg.lighting_insensitive:
-            raise NotImplementedError(
-                "lighting-insensitive affine checking is not supported "
-                "(the reference never exercises this combination)")
+        # lighting_insensitive + affine check is a valid combination:
+        # the reference's affine stage simply runs without gain/bias
+        # normalization (src/V1/trackFeatures.c:952-1220 has no lighting
+        # terms), while the translation stage keeps it.
 
     # ------------------------------------------------------------- #
     # jitted pipelines (cached per image shape)                      #

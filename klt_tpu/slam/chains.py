@@ -28,35 +28,26 @@ def tracks_from_table(x, y, val, min_length: int = 2):
     y = np.asarray(y)
     val = np.asarray(val)
     n, t = val.shape
-    tid, frame, us, vs = [], [], [], []
-    next_id = 0
-    for i in range(n):
-        cur = -1
-        cur_len = 0
-        cur_start = 0
-        for j in range(t):
-            if val[i, j] < 0:
-                cur = -1
-                continue
-            if val[i, j] > 0 or cur < 0:
-                cur = next_id
-                next_id += 1
-            tid.append(cur)
-            frame.append(j)
-            us.append(x[i, j])
-            vs.append(y[i, j])
-    tid = np.asarray(tid, np.int32)
-    frame = np.asarray(frame, np.int32)
-    us = np.asarray(us, np.float32)
-    vs = np.asarray(vs, np.float32)
-    # drop short tracks and renumber densely
+    obs = val >= 0
+    # a track starts at a fresh detection, or at the first observation
+    # of a row / after a gap; ids are assigned in row-major encounter
+    # order (cumulative count of starts), constant within each run
+    prev_gap = np.concatenate([np.ones((n, 1), bool), ~obs[:, :-1]],
+                              axis=1)
+    starts = obs & ((val > 0) | prev_gap)
+    sid = (np.cumsum(starts.ravel()) - 1).reshape(n, t)
+    tid = sid[obs].astype(np.int32)
+    frame = np.broadcast_to(np.arange(t, dtype=np.int32),
+                            (n, t))[obs]
+    us = x[obs].astype(np.float32)
+    vs = y[obs].astype(np.float32)
+    # drop short tracks and renumber densely (ids appear in ascending
+    # order, so unique's inverse is the dense renumbering)
     ids, counts = np.unique(tid, return_counts=True)
-    keep_ids = ids[counts >= min_length]
-    keep = np.isin(tid, keep_ids)
+    keep = np.isin(tid, ids[counts >= min_length])
     tid, frame, us, vs = tid[keep], frame[keep], us[keep], vs[keep]
-    remap = {old: new for new, old in enumerate(np.unique(tid))}
-    tid = np.asarray([remap[t_] for t_ in tid], np.int32)
-    return tid, frame, us, vs
+    _, tid = np.unique(tid, return_inverse=True)
+    return tid.astype(np.int32), frame, us, vs
 
 
 def select_keyframes(val, overlap_thresh: float = 0.6,
@@ -65,8 +56,9 @@ def select_keyframes(val, overlap_thresh: float = 0.6,
 
     val: [N, T].  Frame 0 is always a keyframe; a new keyframe is
     opened when the fraction of the last keyframe's live features still
-    tracked drops below `overlap_thresh` (or every `min_gap` frames at
-    most... at least).  Returns sorted frame indices.
+    tracked drops below `overlap_thresh`, but never closer than
+    `min_gap` frames to the previous keyframe.  Returns sorted frame
+    indices.
     """
     val = np.asarray(val)
     n, t = val.shape

@@ -40,13 +40,27 @@ def so3_log(R):
                    R[..., 1, 0] - R[..., 0, 1]], -1)
     s2 = jnp.sum(w * w, axis=-1) * 0.25           # sin^2(theta)
     c = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)     # cos(theta)
-    small = s2 < 1e-12
-    s2_safe = jnp.where(small, 1.0, s2)
+    # sin(theta) ~ 0 happens BOTH at theta ~ 0 (Taylor branch) and at
+    # theta ~ pi, where w ~ 0 but the log is ~ pi * axis: recover the
+    # axis there from the symmetric part, aa^T = (S - cI) / (1 - c).
+    small = (s2 < 1e-12) & (c > 0.0)
+    near_pi = c < -0.999
+    s2_safe = jnp.where(small | near_pi, 1.0, s2)
     s_safe = jnp.sqrt(s2_safe)
     theta = jnp.arctan2(s_safe, c)
     scale = jnp.where(small, 0.5 + s2 / 12.0,
                       theta / (2.0 * s_safe))[..., None]
-    return w * scale
+    # near-pi branch: theta from the (guarded) cosine alone — arctan2
+    # needs an accurate sine, which w no longer carries there
+    theta_pi = jnp.arccos(jnp.maximum(c, -1.0 + 1e-7))
+    diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], -1)
+    one_mc = jnp.where(near_pi, 1.0 - c, 1.0)[..., None]
+    axis2 = jnp.maximum((diag - c[..., None]) / one_mc, 1e-12)
+    # at exactly pi the axis sign is ambiguous (R(pi,a) == R(pi,-a));
+    # near pi take it from w, falling back to +1 where w vanishes
+    sign = jnp.where(w >= 0.0, 1.0, -1.0)
+    log_pi = theta_pi[..., None] * sign * jnp.sqrt(axis2)
+    return jnp.where(near_pi[..., None], log_pi, w * scale)
 
 
 @dataclasses.dataclass

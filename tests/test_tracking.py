@@ -79,6 +79,39 @@ def test_golden_sequence(provided_frames):
     _compare_tables(ft, oracle, max_drift=0.5, min_status_agree=145)
 
 
+@pytest.mark.skipif(not os.path.isdir(REF_GOLDEN),
+                    reason="reference goldens unavailable")
+def test_golden_bytes_end_to_end(provided_frames, tmp_path):
+    """The full example3 run on the CPU (no-Pallas) path reproduces the
+    reference's committed artifacts: features2.txt and every
+    feat{1..9}.ppm overlay BYTE-FOR-BYTE; the binary features2.ft with
+    exact statuses and positions within 1e-4 px (a few entries differ
+    in the last 1-2 f32 ulps, invisible at the %5.1f text precision)
+    (reference driver: src/V1/example3.c)."""
+    cfg = klt.TrackingConfig(sequential_mode=True)
+    tr = klt.KLTracker(cfg)
+    fl = klt.FeatureList.create(150)
+    ft = klt.FeatureTable.create(10, 150)
+    tr.select_good_features(provided_frames[0], fl)
+    ft.store_list(fl, 0)
+    for i in range(1, 10):
+        tr.track_features(provided_frames[i - 1], provided_frames[i], fl)
+        ft.store_list(fl, i - 1)
+        klt.write_feature_list_ppm(fl, provided_frames[i],
+                                   str(tmp_path / f"feat{i}.ppm"))
+    klt.write_feature_table(ft, str(tmp_path / "features2.txt"), "%5.1f")
+    names = ["features2.txt"] + [f"feat{i}.ppm" for i in range(1, 10)]
+    for name in names:
+        ours = (tmp_path / name).read_bytes()
+        with open(os.path.join(REF_GOLDEN, name), "rb") as f:
+            ref = f.read()
+        assert ours == ref, f"{name} differs from the reference golden"
+    oracle = read_feature_table(os.path.join(REF_GOLDEN, "features2.ft"))
+    np.testing.assert_array_equal(ft.val, oracle.val)
+    np.testing.assert_allclose(ft.x, oracle.x, atol=1e-4, rtol=0)
+    np.testing.assert_allclose(ft.y, oracle.y, atol=1e-4, rtol=0)
+
+
 def test_replacement_sequence(provided_frames):
     ft = _run_sequence(provided_frames,
                        klt.TrackingConfig(sequential_mode=True),
@@ -101,6 +134,19 @@ def test_lighting_sequence(provided_frames):
     ft = _run_sequence(provided_frames, cfg)
     oracle = read_feature_table(fixture_path("table_lighting.ft"))
     _compare_tables(ft, oracle, max_drift=0.5, min_status_agree=140)
+
+
+def test_lighting_affine_sequence(provided_frames):
+    """lighting_insensitive + affine check together: the reference runs
+    the affine stage WITHOUT lighting normalization
+    (src/V1/trackFeatures.c:952-1220 has no gain/bias terms) while the
+    translation stage keeps it."""
+    cfg = klt.TrackingConfig(sequential_mode=True,
+                             lighting_insensitive=True,
+                             affine_consistency_check=2)
+    ft = _run_sequence(provided_frames, cfg)
+    oracle = read_feature_table(fixture_path("table_lighting_affine.ft"))
+    _compare_tables(ft, oracle, max_drift=0.5, min_status_agree=130)
 
 
 def test_sequential_matches_nonsequential(provided_frames):

@@ -1,14 +1,19 @@
 """Multi-sequence / multi-chip scaling benchmark.
 
 Tracks B copies of the images_provided sequence as a sharded batch over
-the available device mesh and reports aggregate frames/s + per-device
+the available device mesh and reports aggregate frames/s + batch-scaling
 efficiency.  On a 1-chip host this measures batch throughput; on a pod
 slice it measures data-parallel scaling (the BASELINE.json >=80%
 efficiency target).  Use JAX_PLATFORMS=cpu with
 XLA_FLAGS=--xla_force_host_platform_device_count=8 for a functional
 (not perf) multi-device check.
+
+The whole sequence runs as ONE device-resident scanned dispatch per
+batch size (parallel.batched_lk.track_sequences_batched) so the number
+measured is tracking throughput, not host dispatch latency.
 """
 
+import json
 import os
 import sys
 import time
@@ -19,13 +24,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
 
-def main():
+def run_scaling(per_dev_batches=(1, 2, 4), reps=3, emit=print):
     import jax
     import jax.numpy as jnp
     import klt_tpu as klt
     from klt_tpu.config import TrackingConfig
     from klt_tpu.parallel.mesh import make_mesh
-    from klt_tpu.parallel.batch import make_batch_step
+    from klt_tpu.parallel.batch import track_batch
 
     klt.set_verbosity(0)
     cfg = TrackingConfig(sequential_mode=True)
@@ -38,25 +43,22 @@ def main():
 
     n_dev = len(jax.devices())
     mesh = make_mesh({"data": n_dev}) if n_dev > 1 else None
-    step = make_batch_step(cfg, mesh)
     n_pairs = frames.shape[0] - 1
-    reps = 5
 
     results = {}
-    for per_dev in (1, 2, 4):
+    for per_dev in per_dev_batches:
         b = per_dev * n_dev
-        fb = np.broadcast_to(frames, (b,) + frames.shape).copy()
-        xb = np.broadcast_to(fl.x, (b, 150)).copy()
-        yb = np.broadcast_to(fl.y, (b, 150)).copy()
-        vb = np.broadcast_to(fl.val, (b, 150)).copy()
+        fb = jnp.asarray(np.broadcast_to(
+            frames, (b,) + frames.shape).copy())
+        xb = jnp.asarray(np.broadcast_to(fl.x, (b, 150)).copy())
+        yb = jnp.asarray(np.broadcast_to(fl.y, (b, 150)).copy())
+        vb = jnp.asarray(np.broadcast_to(fl.val, (b, 150)).copy())
 
         def run():
-            x, y, v = jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(vb)
+            out = None
             for _ in range(reps):
-                for t in range(n_pairs):
-                    x, y, v = step(jnp.asarray(fb[:, t]),
-                                   jnp.asarray(fb[:, t + 1]), x, y, v)
-            jax.block_until_ready((x, y, v))
+                out = track_batch(fb, xb, yb, vb, cfg, mesh=mesh)
+            jax.block_until_ready(out)
 
         run()  # warmup/compile
         t0 = time.perf_counter()
@@ -64,10 +66,25 @@ def main():
         dt = time.perf_counter() - t0
         fps = reps * n_pairs * b / dt
         results[b] = fps
-        print(f"B={b:3d} ({n_dev} devices): {fps:9.1f} frames/s aggregate")
+        emit(f"B={b:3d} ({n_dev} devices): {fps:9.1f} frames/s aggregate")
 
-    base = results[n_dev] / n_dev
-    print(f"per-device at B={n_dev}: {base:.1f} frames/s")
+    b_min = min(results)
+    base = results[b_min] / b_min  # per-sequence fps at the small batch
+    eff = {b: results[b] / (b * base) for b in results}
+    for b in sorted(results):
+        emit(f"B={b:3d}: batch-scaling efficiency "
+             f"{100.0 * eff[b]:5.1f}% vs B={b_min}")
+    return {
+        "n_devices": n_dev,
+        "aggregate_fps": {str(b): round(v, 1) for b, v in results.items()},
+        "batch_scaling_efficiency": {str(b): round(v, 4)
+                                     for b, v in eff.items()},
+    }
+
+
+def main():
+    out = run_scaling()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -22,6 +22,7 @@
  *   table_replace.ft       KLTFT1 binary table, 150 feat x 10 frames, replacement on
  *   table_affine.ft        KLTFT1 binary table, affineConsistencyCheck = 2
  *   table_lighting.ft      KLTFT1 binary table, lighting_insensitive = 1
+ *   table_lighting_affine.ft  KLTFT1 binary table, lighting + affine = 2
  */
 #include <stdio.h>
 #include <stdlib.h>
@@ -205,6 +206,9 @@ int main(int argc, char **argv)
   run_sequence("table_replace.ft", 1, -1, 0);
   run_sequence("table_affine.ft", 0, 2, 0);
   run_sequence("table_lighting.ft", 0, -1, 1);
+  /* lighting-insensitive translation + affine check: the affine stage
+   * itself has no lighting normalization in the reference */
+  run_sequence("table_lighting_affine.ft", 0, 2, 1);
 
   printf("fixtures written to %s\n", OUT);
   return 0;
