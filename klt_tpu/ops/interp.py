@@ -139,19 +139,12 @@ def onehot_extract(stack: jax.Array, y0: jax.Array, x0: jax.Array,
     return outs.reshape(n_chunks * chunk, c, ny, nx)[:f]
 
 
-def onehot_extract_packed(stack: jax.Array, y0: jax.Array, x0: jax.Array,
-                          ny: int, nx: int) -> jax.Array:
-    """Like onehot_extract but returns the channel-block lane packing
-    [F, ny, C*nx] the Pallas LK kernel consumes, with the layout folded
-    into the second einsum's output order (no separate transpose).
-
-    Runs the one-hot matmuls at Precision.HIGH (3-pass): the row pass
-    selects values with <= 2^-16 relative error (the one-hot side is
-    exact in bf16; only the data's low mantissa bits are dropped),
-    ~5e-6 relative on image intensities — over two orders of magnitude
-    below the 0.5 px tracking contract, at half the MXU passes of
-    HIGHEST.  The jnp fast path (onehot_extract above) keeps HIGHEST so
-    CPU goldens stay byte-identical."""
+def onehot_extract_packed_rows(stack: jax.Array, y0: jax.Array,
+                               x0: jax.Array, ny: int, nx: int) -> jax.Array:
+    """Per-row one-hot packed extraction (the round-1 formulation):
+    [F*ny, H] row one-hot against the full image.  Kept as the A/B
+    reference for the row-block-aligned fast path below; O(F*ny*H*W)
+    MXU work makes it the large-F bottleneck."""
     prec = jax.lax.Precision.HIGH
     c, h_img, w_img = stack.shape
     hi = jnp.arange(h_img, dtype=jnp.int32)
@@ -169,6 +162,72 @@ def onehot_extract_packed(stack: jax.Array, y0: jax.Array, x0: jax.Array,
     out = jnp.einsum("cfrw,fxw->frcx", band, col_oh, precision=prec,
                      preferred_element_type=jnp.float32)
     return out.reshape(f, ny, c * nx)
+
+
+_ROW_BLOCK = 8  # aligned row-block size for the blocked extraction
+
+
+def onehot_extract_packed(stack: jax.Array, y0: jax.Array, x0: jax.Array,
+                          ny: int, nx: int) -> jax.Array:
+    """Integer-aligned patch extraction in the channel-block lane
+    packing [F, ny, C*nx] the Pallas LK kernel consumes.
+
+    Row-block-aligned formulation: instead of one one-hot row per
+    output row (O(F*ny*H*W) MXU work), each feature selects the
+    ceil(ny/8)+1 ALIGNED 8-row blocks covering its band with a one-hot
+    over H/8 block indices (8x fewer MACs), then the same per-feature
+    column one-hot, then a 3-step binary row re-alignment (masked
+    static slices, VPU-cheap because it runs on the nx-wide result).
+
+    Runs the one-hot matmuls at Precision.HIGH (3-pass): the one-hot
+    side is exact in bf16; only the data's low mantissa bits move,
+    <= 2^-16 relative — over two orders of magnitude below the 0.5 px
+    tracking contract.  The jnp fast path (onehot_extract above) keeps
+    HIGHEST per-row selection so CPU goldens stay byte-identical.
+    """
+    prec = jax.lax.Precision.HIGH
+    c, h_img, w_img = stack.shape
+    f = y0.shape[0]
+    b = _ROW_BLOCK
+    hp = (-h_img) % b
+    if hp:
+        stack = jnp.pad(stack, ((0, 0), (0, hp), (0, 0)))
+    nb_img = (h_img + hp) // b
+    nblk = ny // b + 1  # aligned blocks covering any ny-row band
+
+    b0 = y0 // b
+    rem = y0 - b0 * b  # in-block row offset, [0, b)
+    blocks = (b0[:, None] +
+              jnp.arange(nblk, dtype=jnp.int32)[None, :]).reshape(-1)
+    # in-bounds y0 (<= H-ny) only needs block b0+nblk-1 when rem > 0,
+    # in which case it exists; the clip is a memory guard for dead lanes
+    blocks = jnp.clip(blocks, 0, nb_img - 1)
+    blk_oh = (blocks[:, None] ==
+              jnp.arange(nb_img, dtype=jnp.int32)[None, :]
+              ).astype(jnp.float32)  # [F*nblk, H/b]
+    st4 = stack.reshape(c, nb_img, b * w_img)
+    band = jnp.einsum("bh,chw->cbw", blk_oh, st4, precision=prec,
+                      preferred_element_type=jnp.float32)
+    band = band.reshape(c, f, nblk * b, w_img)
+
+    wi = jnp.arange(w_img, dtype=jnp.int32)
+    col_oh = ((x0[:, None, None] +
+               jnp.arange(nx, dtype=jnp.int32)[None, :, None]) ==
+              wi[None, None, :]).astype(jnp.float32)  # [f, nx, W]
+    sel = jnp.einsum("cfrw,fxw->frcx", band, col_oh, precision=prec,
+                     preferred_element_type=jnp.float32)
+    sel = sel.reshape(f, nblk * b, c * nx)
+
+    # binary row re-alignment by rem in {0..b-1}: 3 masked slice-selects
+    out = sel
+    shift = 1
+    while shift < b:
+        bit = ((rem & shift) != 0)[:, None, None]
+        keep = out.shape[1] - shift
+        out = jnp.where(bit, out[:, shift:shift + keep, :],
+                        out[:, :keep, :])
+        shift *= 2
+    return out[:, :ny, :]
 
 
 def select_windows_bilinear(patches: jax.Array, oy: jax.Array,

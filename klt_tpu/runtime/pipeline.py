@@ -72,6 +72,36 @@ def _prepare_jit(img, cfg: TrackingConfig):
 
 
 @functools.partial(jax.jit, static_argnums=4)
+def track_sequence_replace(frames, x, y, val, cfg: TrackingConfig):
+    """Whole-sequence tracking with per-frame lost-feature replacement
+    running INSIDE the compiled scan (ops.replace — device-resident
+    greedy suppression, no host round-trips).
+
+    The device analogue of the reference's example3 REPLACE loop
+    (src/V3/example3GPU.c:34-88: KLTTrackFeatures then
+    KLTReplaceLostFeatures every frame).  frames: uint8/f32 [T, H, W];
+    x, y f32 [N]; val i32 [N].  Returns (xs, ys, vals) of shape
+    [T-1, N] — the state after tracking into frame t and replacing.
+    """
+    from ..ops.replace import replace_lost_features_device
+
+    st0 = tuple(build_pyramid_stacks(frames[0], cfg))
+
+    def body(carry, img):
+        st1, x, y, val = carry
+        st2 = tuple(build_pyramid_stacks(img, cfg))
+        xn, yn, vn = track_features_pyramid_stacks(
+            list(st1), list(st2), x, y, val, cfg)
+        xn, yn, vn = replace_lost_features_device(
+            st2[0][1], st2[0][2], xn, yn, vn, cfg)
+        return (st2, xn, yn, vn), (xn, yn, vn)
+
+    (_, xf, yf, vf), tables = jax.lax.scan(
+        body, (st0, x, y, val), frames[1:])
+    return tables
+
+
+@functools.partial(jax.jit, static_argnums=4)
 def track_sequence_affine(frames, x, y, val, cfg: TrackingConfig):
     """Whole-sequence tracking with the affine consistency check
     running inside the compiled scan.

@@ -27,7 +27,9 @@ from ..config import TrackingConfig, NOT_FOUND
 from ..features import FeatureList
 from ..ops.convolve import compute_smoothed_image, compute_gradients
 from ..ops.pyramid import build_image_pyramids
-from ..ops.selection import corner_response, candidate_points
+from ..ops.selection import (corner_response, candidate_points,
+                             candidate_points_topk,
+                             selection_prefilter_audit)
 from ..ops.lk import track_features_pyramid
 from ..ops.affine import AffineState, affine_consistency_step
 from .. import native
@@ -148,16 +150,66 @@ class KLTracker:
         else:
             response = self._response_jit(jnp.asarray(img))
 
-        pts = candidate_points(np.asarray(response), cfg, ncols, nrows)
-        native.sort_points_desc(pts)
         newly = None if overwrite_all else (fl.val < 0)
-        native.min_dist_suppress(pts, fl.x, fl.y, fl.val, ncols, nrows,
-                                 cfg.mindist, cfg.min_eigenvalue,
-                                 overwrite_all)
+        if not self._suppress_prefiltered(response, fl, ncols, nrows,
+                                          overwrite_all):
+            pts = candidate_points(np.asarray(response), cfg, ncols,
+                                   nrows)
+            native.sort_points_desc(pts)
+            native.min_dist_suppress(pts, fl.x, fl.y, fl.val, ncols,
+                                     nrows, cfg.mindist,
+                                     cfg.min_eigenvalue, overwrite_all)
         # Reset affine reference patches for (re)selected features.
         if cfg.affine_consistency_check >= 0 and self._affine is not None:
             reset = np.ones(fl.n_features, bool) if overwrite_all else newly
             self._affine.invalidate(np.nonzero(reset)[0])
+
+    def _suppress_prefiltered(self, response, fl: FeatureList,
+                              ncols: int, nrows: int,
+                              overwrite_all: bool) -> bool:
+        """Run sort + suppression on the device-prefiltered candidate
+        list; True on success.  Falls back (returns False, feature list
+        restored) when the exactness audit cannot certify that the
+        reduced list yields the full list's outcome — so results stay
+        golden-exact while a certified call transfers O(k * nCells)
+        triples instead of the full response map.
+
+        Opt-in (KLT_TPU_PREFILTER=1): measured on the bundled scenes,
+        the audit can certify only shallow selections (selection
+        boundaries on real imagery sit far below the per-cell rank-k
+        values, and the reference's full-array quicksort tie order is
+        unreproducible on a reduced list), so by default the tracker
+        keeps the always-exact full path.  High-rate replacement
+        pipelines should use the device-resident replacement in
+        ops/replace.py instead, which never round-trips to the host.
+        Reference contract: src/V1/selectGoodFeatures.c:135-239."""
+        import os
+        cfg = self.cfg
+        if cfg.mindist < 2 or not os.environ.get("KLT_TPU_PREFILTER"):
+            return False
+        pts, dropped_cells = candidate_points_topk(response, cfg, ncols,
+                                                   nrows)
+        save = (fl.x.copy(), fl.y.copy(), fl.val.copy())
+        native.sort_points_desc(pts)
+        native.min_dist_suppress(pts, fl.x, fl.y, fl.val, ncols, nrows,
+                                 cfg.mindist, cfg.min_eigenvalue,
+                                 overwrite_all)
+        target = np.ones(fl.n_features, bool) if overwrite_all \
+            else (save[2] < 0)
+        added = target & (fl.val >= 0)  # every target slot now filled
+        n_unfilled = int((target & (fl.val < 0)).sum())
+        exist = np.zeros(0, bool) if overwrite_all else (save[2] >= 0)
+        ok = selection_prefilter_audit(
+            pts, dropped_cells, fl.val[added],
+            fl.x[added].astype(np.int32), fl.y[added].astype(np.int32),
+            save[0][exist].astype(np.int32) if exist.any()
+            else np.empty(0, np.int32),
+            save[1][exist].astype(np.int32) if exist.any()
+            else np.empty(0, np.int32),
+            n_unfilled, cfg)
+        if not ok:
+            fl.x[:], fl.y[:], fl.val[:] = save
+        return ok
 
     def track_features(self, img1: np.ndarray, img2: np.ndarray,
                        fl: FeatureList) -> None:

@@ -76,3 +76,100 @@ def test_replacement_keeps_live_features(provided_frames):
         d = np.maximum(np.abs(xs - xs[i]), np.abs(ys - ys[i]))
         d[i] = 1e9
         assert d.min() > tr.cfg.mindist - 1
+
+
+def test_prefilter_candidates_subset_and_audit(provided_frames,
+                                               monkeypatch):
+    """candidate_points_topk keeps a value-correct subset of the full
+    candidate list, and the opt-in prefiltered selection path either
+    certifies exactness or falls back — producing the full path's
+    result either way."""
+    import jax.numpy as jnp
+    from klt_tpu.ops.selection import (candidate_points,
+                                       candidate_points_topk)
+
+    cfg = klt.TrackingConfig()
+    tr = klt.KLTracker(cfg)
+    img = provided_frames[0]
+    response = tr._response_jit(jnp.asarray(img))
+    full = candidate_points(np.asarray(response), cfg, img.shape[1],
+                            img.shape[0])
+    pts, dropped = candidate_points_topk(response, cfg, img.shape[1],
+                                         img.shape[0])
+    # every kept triple appears in the full list
+    full_set = {tuple(r) for r in full.tolist()}
+    assert all(tuple(r) in full_set for r in pts.tolist())
+    # per cell at most k entries and values are the cell's best
+    assert pts.shape[0] < full.shape[0]
+    assert (pts[:, 2] >= 1).all()
+
+    # the opt-in prefiltered path must equal the full path exactly
+    # (via certification or fallback)
+    monkeypatch.setenv("KLT_TPU_PREFILTER", "1")
+    fl_a = klt.FeatureList.create(150)
+    tr_a = klt.KLTracker(cfg)
+    tr_a.select_good_features(img, fl_a)
+    monkeypatch.delenv("KLT_TPU_PREFILTER")
+    fl_b = klt.FeatureList.create(150)
+    tr_b = klt.KLTracker(cfg)
+    tr_b.select_good_features(img, fl_b)
+    np.testing.assert_array_equal(fl_a.x, fl_b.x)
+    np.testing.assert_array_equal(fl_a.y, fl_b.y)
+    np.testing.assert_array_equal(fl_a.val, fl_b.val)
+
+
+def test_prefilter_audit_certifies_replacement():
+    """Replacement on a scene of isolated distinct-valued corners: the
+    boundary sits at the strongest unclaimed corner, dropped cells are
+    either below it or covered by existing/added features, so the audit
+    must certify (no fallback) and match the full path."""
+    import os
+    import klt_tpu.runtime.tracker as T
+    from klt_tpu.config import TrackingConfig
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(98, 102, (120, 160)).astype(np.uint8)
+    for i, (cy, cx) in enumerate([(30, 40), (60, 100), (90, 50),
+                                  (40, 130), (80, 20)]):
+        amp = 60 + 20 * i
+        img[cy:cy + 6, cx:cx + 6] = 100 + amp
+        img[cy + 3:cy + 6, cx:cx + 3] = 100 - amp // 2
+    cfg = TrackingConfig()
+
+    def select_then_lose():
+        tr = T.KLTracker(cfg)
+        fl = klt.FeatureList.create(4)
+        tr.select_good_features(img, fl)
+        assert (fl.val >= 0).sum() == 4
+        fl.val[2] = -1  # lose one feature; replacement refills it
+        return tr, fl
+
+    calls = {"ok": 0, "fb": 0}
+    orig = T.KLTracker._suppress_prefiltered
+
+    def wrap(self, *a, **k):
+        r = orig(self, *a, **k)
+        calls["ok" if r else "fb"] += 1
+        return r
+
+    os.environ["KLT_TPU_PREFILTER"] = "1"
+    T.KLTracker._suppress_prefiltered = wrap
+    try:
+        tr, fl = select_then_lose()
+        tr.replace_lost_features(img, fl)
+    finally:
+        T.KLTracker._suppress_prefiltered = orig
+        os.environ.pop("KLT_TPU_PREFILTER")
+    # the initial (deep) selection may fall back; the replacement call
+    # must certify
+    assert calls["ok"] >= 1
+    assert (fl.val >= 0).sum() == 4
+
+    os.environ["KLT_TPU_NO_PREFILTER"] = "1"
+    try:
+        tr2, fl2 = select_then_lose()
+        tr2.replace_lost_features(img, fl2)
+    finally:
+        os.environ.pop("KLT_TPU_NO_PREFILTER")
+    np.testing.assert_array_equal(fl.x, fl2.x)
+    np.testing.assert_array_equal(fl.val, fl2.val)

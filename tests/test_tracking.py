@@ -120,6 +120,61 @@ def test_replacement_sequence(provided_frames):
     _compare_tables(ft, oracle, max_drift=0.5, min_status_agree=140)
 
 
+def test_device_replacement_matches_host(provided_frames):
+    """ops.replace (device-resident greedy suppression) must equal the
+    host native path (sort + suppression) wherever values are
+    tie-free."""
+    import jax.numpy as jnp
+    from klt_tpu.ops.replace import replace_lost_features_device
+
+    cfg = klt.TrackingConfig(sequential_mode=True)
+    tr = klt.KLTracker(cfg)
+    fl = klt.FeatureList.create(150)
+    tr.select_good_features(provided_frames[0], fl)
+    tr.track_features(provided_frames[0], provided_frames[1], fl)
+    assert (fl.val < 0).sum() > 0  # some features actually lost
+
+    host = klt.FeatureList.create(150)
+    host.x[:], host.y[:], host.val[:] = fl.x, fl.y, fl.val
+    tr.replace_lost_features(provided_frames[1], host)
+
+    _, gx, gy = tr._pyr_last
+    xd, yd, vd = replace_lost_features_device(
+        gx[0], gy[0], jnp.asarray(fl.x), jnp.asarray(fl.y),
+        jnp.asarray(fl.val), cfg)
+    np.testing.assert_array_equal(np.asarray(vd), host.val)
+    np.testing.assert_array_equal(np.asarray(xd), host.x)
+    np.testing.assert_array_equal(np.asarray(yd), host.y)
+
+
+def test_replace_scan_matches_host_loop(provided_frames):
+    """track_sequence_replace (in-scan device replacement) vs the
+    KLTracker host loop over the golden 10-frame sequence."""
+    import jax.numpy as jnp
+    from klt_tpu.runtime.pipeline import track_sequence_replace
+
+    cfg = klt.TrackingConfig(sequential_mode=True)
+    ft = _run_sequence(provided_frames, cfg, replace=True)
+
+    tr = klt.KLTracker(cfg)
+    fl = klt.FeatureList.create(150)
+    tr.select_good_features(provided_frames[0], fl)
+    xs, ys, vs = track_sequence_replace(
+        jnp.asarray(np.stack(provided_frames)), jnp.asarray(fl.x),
+        jnp.asarray(fl.y), jnp.asarray(fl.val), cfg)
+    xs, ys, vs = np.asarray(xs), np.asarray(ys), np.asarray(vs)
+    for t in range(9):
+        agree = (vs[t] == ft.val[:, t]).mean()
+        assert agree >= 0.97, f"frame {t}: status agreement {agree}"
+        both = (vs[t] >= 0) & (ft.val[:, t] >= 0) & \
+               (vs[t] == ft.val[:, t])
+        d = np.hypot(xs[t] - ft.x[:, t], ys[t] - ft.y[:, t])[both]
+        if len(d):
+            # the two programs compile separately; ulp-level pyramid
+            # differences amplify through Newton iterations
+            assert d.max() <= 0.05, f"frame {t}: drift {d.max()}"
+
+
 def test_affine_sequence(provided_frames):
     cfg = klt.TrackingConfig(sequential_mode=True,
                              affine_consistency_check=2)

@@ -24,7 +24,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
 
-def run_scaling(per_dev_batches=(1, 2, 4), reps=3, emit=print):
+def run_scaling(per_dev_batches=(1, 2, 4), reps=25, emit=print):
+    # reps amortize the ~30-60 ms dispatch latency of the tunneled TPU;
+    # each rep is one whole-sequence scanned dispatch
     import jax
     import jax.numpy as jnp
     import klt_tpu as klt
