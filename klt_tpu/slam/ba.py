@@ -193,6 +193,159 @@ def _gn_step(R, t, landmarks, prob: BAProblem, mesh: Mesh | None,
     return R_new, t_new, lm_new, cost
 
 
+def _gn_step_cg(R, t, landmarks, prob: BAProblem, mesh: Mesh | None,
+                damping: float, fix_first: bool, cg_iters: int,
+                cg_tol: float):
+    """Matrix-free Schur Gauss-Newton step for large problems.
+
+    Never materializes W (the [P, L, 6, 3] pose-landmark coupling) or
+    the dense Schur matrix: S·x products stream through the
+    per-observation Jacobians with two segment-sums, so memory is
+    O(M + P + L) and the observation axis shards over the mesh's
+    `data` axis (one psum per matvec).  The pose system solves with
+    preconditioned CG (block-Jacobi on the damped U blocks); landmarks
+    back-substitute per landmark.  This is the "keyframes and map
+    blocks partitioned across a pod slice" path of the north star —
+    the dense _gn_step above stays for small refinements.
+    """
+    n_pose = R.shape[0]
+    n_lm = landmarks.shape[0]
+    consts = (prob.fx, prob.fy, prob.cx, prob.cy)
+    lam = jnp.float32(damping)
+
+    def local_blocks(cam_idx, lm_idx, uv, weight):
+        r, jp, jl = _obs_blocks(R, t, landmarks, cam_idx, lm_idx, uv,
+                                weight, *consts)
+        U = jax.ops.segment_sum(
+            jnp.einsum("mki,mkj->mij", jp, jp, precision=_HI),
+            cam_idx, num_segments=n_pose)
+        V = jax.ops.segment_sum(
+            jnp.einsum("mki,mkj->mij", jl, jl, precision=_HI),
+            lm_idx, num_segments=n_lm)
+        bp = jax.ops.segment_sum(
+            -jnp.einsum("mki,mk->mi", jp, r, precision=_HI),
+            cam_idx, num_segments=n_pose)
+        bl = jax.ops.segment_sum(
+            -jnp.einsum("mki,mk->mi", jl, r, precision=_HI),
+            lm_idx, num_segments=n_lm)
+        cost = jnp.sum(r * r)
+        return U, V, bp, bl, cost, jp, jl
+
+    def damp(U, V):
+        eye6 = jnp.eye(6, dtype=U.dtype)[None]
+        eye3 = jnp.eye(3, dtype=V.dtype)[None]
+        du = jnp.einsum("pii->pi", U)[:, :, None] * eye6
+        dv = jnp.einsum("lii->li", V)[:, :, None] * eye3
+        return U + lam * du + 1e-6 * eye6, V + lam * dv + 1e-6 * eye3
+
+    mask = jnp.ones((n_pose, 6), jnp.float32)
+    if fix_first:
+        mask = mask.at[0].set(0.0)
+
+    def make_solve(U, Vinv, bp, bl, matvec_wvw):
+        """CG on the gauge-masked Schur system."""
+        rhs = bp - matvec_wvw(bl, from_lm=True)
+        rhs = rhs * mask
+
+        Uinv = jnp.linalg.inv(U)  # block-Jacobi preconditioner
+
+        def precond(v):
+            return jnp.einsum("pij,pj->pi", Uinv, v,
+                              precision=_HI) * mask
+
+        def s_matvec(v):
+            v = v * mask
+            uv_ = jnp.einsum("pij,pj->pi", U, v, precision=_HI)
+            out = (uv_ - matvec_wvw(v, from_lm=False)) * mask
+            # identity on the gauge-fixed block keeps S definite
+            return out + v * (1.0 - mask) if fix_first else out
+
+        x0 = jnp.zeros_like(rhs)
+        r0 = rhs
+        z0 = precond(r0)
+        p0 = z0
+        rz0 = jnp.sum(r0 * z0)
+        stop = jnp.float32(cg_tol) ** 2 * jnp.sum(rhs * rhs)
+
+        def cond(state):
+            k, _, r, _, _ = state
+            return (k < cg_iters) & (jnp.sum(r * r) > stop)
+
+        def body(state):
+            k, x, r, p, rz = state
+            sp = s_matvec(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * sp), 1e-30)
+            x = x + alpha * p
+            r = r - alpha * sp
+            z = precond(r)
+            rz_new = jnp.sum(r * z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            p = z + beta * p
+            return k + 1, x, r, p, rz_new
+
+        _, dx_pose, _, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), x0, r0, p0, rz0))
+        return dx_pose, rhs
+
+    def step(cam_idx, lm_idx, uv, weight, psum):
+        U, V, bp, bl, cost, jp, jl = local_blocks(cam_idx, lm_idx, uv,
+                                                  weight)
+        U, V, bp, bl, cost = psum((U, V, bp, bl, cost))
+        U, V = damp(U, V)
+        Vinv = jnp.linalg.inv(V)
+
+        def matvec_wvw(v, from_lm):
+            """from_lm=False: (W V^-1 W^T) v for v [P, 6];
+            from_lm=True:  (W V^-1) v      for v [L, 3]."""
+            if from_lm:
+                w = jnp.einsum("lij,lj->li", Vinv, v, precision=_HI)
+            else:
+                y = jnp.einsum("mki,mi->mk", jp, v[cam_idx],
+                               precision=_HI)            # [Mloc, 2]
+                z = jax.ops.segment_sum(
+                    jnp.einsum("mki,mk->mi", jl, y, precision=_HI),
+                    lm_idx, num_segments=n_lm)           # W^T v (local)
+                z = psum(z)
+                w = jnp.einsum("lij,lj->li", Vinv, z, precision=_HI)
+            out = jax.ops.segment_sum(
+                jnp.einsum("mki,mkj,mj->mi", jp, jl, w[lm_idx],
+                           precision=_HI),
+                cam_idx, num_segments=n_pose)            # W w (local)
+            return psum(out)
+
+        dx_pose, _ = make_solve(U, Vinv, bp, bl, matvec_wvw)
+
+        # landmark back-substitution: dl = V^-1 (bl - W^T dx)
+        y = jnp.einsum("mki,mi->mk", jp, dx_pose[cam_idx],
+                       precision=_HI)
+        wt_dx = psum(jax.ops.segment_sum(
+            jnp.einsum("mki,mk->mi", jl, y, precision=_HI),
+            lm_idx, num_segments=n_lm))
+        dx_lm = jnp.einsum("lij,lj->li", Vinv, bl - wt_dx,
+                           precision=_HI)
+        return dx_pose, dx_lm, cost
+
+    if mesh is not None:
+        def sharded(cam_idx, lm_idx, uv, weight):
+            return step(cam_idx, lm_idx, uv, weight,
+                        lambda o: jax.lax.psum(o, "data"))
+
+        spec = P("data")
+        dx_pose, dx_lm, cost = shard_map(
+            sharded, mesh=mesh,
+            in_specs=(spec, spec, spec, spec),
+            out_specs=P(),
+        )(prob.cam_idx, prob.lm_idx, prob.uv, prob.weight)
+    else:
+        dx_pose, dx_lm, cost = step(prob.cam_idx, prob.lm_idx, prob.uv,
+                                    prob.weight, lambda o: o)
+
+    dR, dt = se3_exp(dx_pose)
+    R_new = jnp.einsum("pij,pjk->pik", dR, R, precision=_HI)
+    t_new = jnp.einsum("pij,pj->pi", dR, t, precision=_HI) + dt
+    return R_new, t_new, landmarks + dx_lm, cost
+
+
 def _total_cost(R, t, landmarks, prob: BAProblem):
     r, _, _ = _obs_blocks(R, t, landmarks, prob.cam_idx, prob.lm_idx,
                           prob.uv, prob.weight,
@@ -213,6 +366,30 @@ def bundle_adjust(prob: BAProblem, mesh: Mesh | None = None,
     Returns (R, t, landmarks, costs [iterations]) — costs are the
     accepted cost after each iteration.
     """
+    return _lm_drive(prob, mesh, iterations, damping,
+                     lambda R, t, lm, lam: _gn_step(
+                         R, t, lm, prob, mesh, lam, fix_first))
+
+
+def bundle_adjust_cg(prob: BAProblem, mesh: Mesh | None = None,
+                     iterations: int = 10, damping: float = 10.0,
+                     fix_first: bool = True, cg_iters: int = 250,
+                     cg_tol: float = 1e-5):
+    """Levenberg-Marquardt with the matrix-free Schur/CG inner solver
+    (_gn_step_cg) — the scalable path for hundreds of keyframes and
+    tens of thousands of landmarks, observation-sharded over the mesh.
+
+    Same accept/reject semantics as `bundle_adjust`; prefer this
+    whenever n_pose * n_lm is too large to materialize W densely.
+    """
+    return _lm_drive(prob, mesh, iterations, damping,
+                     lambda R, t, lm, lam: _gn_step_cg(
+                         R, t, lm, prob, mesh, lam, fix_first,
+                         cg_iters, cg_tol))
+
+
+def _lm_drive(prob: BAProblem, mesh: Mesh | None, iterations: int,
+              damping: float, gn_step):
     if mesh is not None:
         prob = prob.pad_observations(mesh.shape["data"])
 
@@ -222,8 +399,8 @@ def bundle_adjust(prob: BAProblem, mesh: Mesh | None = None,
 
         def body(carry, _):
             R, t, lm, lam, c_cur = carry
-            Rn, tn, lmn, _ = _gn_step(R, t, lm, prob, mesh,
-                                      lam, fix_first)
+            out = gn_step(R, t, lm, lam)
+            Rn, tn, lmn = out[0], out[1], out[2]
             c_new = _total_cost(Rn, tn, lmn, prob)
             ok = c_new < c_cur
             sel = lambda a, b: jnp.where(ok, a, b)

@@ -176,10 +176,111 @@ def _gn_step(R, t, pg: PoseGraph, mesh, damping, fix_first):
     return R_new, t_new, cost
 
 
+def _gn_step_cg(R, t, pg: PoseGraph, mesh, damping, fix_first,
+                cg_iters: int, cg_tol: float):
+    """Matrix-free edge-list Gauss-Newton step: never materializes the
+    [P,6,P,6] H (the dense path's n^2 segment-sum).  Each CG matvec
+    streams through the per-edge Jacobians (two gathers + two
+    segment-sums), so memory is O(E + P) and the edge axis shards over
+    the mesh's `data` axis — the scalable path for pose graphs with
+    thousands of keyframes."""
+    n = R.shape[0]
+    lam = jnp.float32(damping)
+    mask = jnp.ones((n, 6), jnp.float32)
+    if fix_first:
+        mask = mask.at[0].set(0.0)
+
+    def step(ei, ej, Rz, tz, weight, psum):
+        r, ji, jj = _edge_blocks(R, t, ei, ej, Rz, tz, weight)
+        b = psum(
+            jax.ops.segment_sum(
+                -jnp.einsum("eki,ek->ei", ji, r, precision=_HI),
+                ei, num_segments=n) +
+            jax.ops.segment_sum(
+                -jnp.einsum("eki,ek->ei", jj, r, precision=_HI),
+                ej, num_segments=n))
+        cost = psum(jnp.sum(r * r))
+        # block-diagonal of H for damping + preconditioning
+        Hd = psum(
+            jax.ops.segment_sum(
+                jnp.einsum("eki,ekj->eij", ji, ji, precision=_HI),
+                ei, num_segments=n) +
+            jax.ops.segment_sum(
+                jnp.einsum("eki,ekj->eij", jj, jj, precision=_HI),
+                ej, num_segments=n))
+        diag = jnp.einsum("pii->pi", Hd)
+        eye6 = jnp.eye(6, dtype=Hd.dtype)[None]
+        Hd_damped = Hd + lam * diag[:, :, None] * eye6 + 1e-8 * eye6
+        Minv = jnp.linalg.inv(Hd_damped)
+
+        def h_matvec(v):
+            v = v * mask
+            y = (jnp.einsum("eki,ei->ek", ji, v[ei], precision=_HI) +
+                 jnp.einsum("eki,ei->ek", jj, v[ej], precision=_HI))
+            out = psum(
+                jax.ops.segment_sum(
+                    jnp.einsum("eki,ek->ei", ji, y, precision=_HI),
+                    ei, num_segments=n) +
+                jax.ops.segment_sum(
+                    jnp.einsum("eki,ek->ei", jj, y, precision=_HI),
+                    ej, num_segments=n))
+            out = (out + lam * diag * v + 1e-8 * v) * mask
+            return out + v * (1.0 - mask) if fix_first else out
+
+        def precond(v):
+            return jnp.einsum("pij,pj->pi", Minv, v, precision=_HI) * mask
+
+        rhs = b * mask
+        x0 = jnp.zeros_like(rhs)
+        z0 = precond(rhs)
+        rz0 = jnp.sum(rhs * z0)
+        stop = jnp.float32(cg_tol) ** 2 * jnp.sum(rhs * rhs)
+
+        def cond(state):
+            k, _, rr, _, _ = state
+            return (k < cg_iters) & (jnp.sum(rr * rr) > stop)
+
+        def body(state):
+            k, x, rr, p, rz = state
+            hp = h_matvec(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * hp), 1e-30)
+            x = x + alpha * p
+            rr = rr - alpha * hp
+            z = precond(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            p = z + beta * p
+            return k + 1, x, rr, p, rz_new
+
+        _, dx, _, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), x0, rhs, z0, rz0))
+        return dx, cost
+
+    if mesh is not None:
+        spec = P("data")
+        dx, cost = shard_map(
+            lambda *a: step(*a, lambda o: jax.lax.psum(o, "data")),
+            mesh=mesh, in_specs=(spec,) * 5, out_specs=P(),
+        )(pg.ei, pg.ej, pg.Rz, pg.tz, pg.weight)
+    else:
+        dx, cost = step(pg.ei, pg.ej, pg.Rz, pg.tz, pg.weight,
+                        lambda o: o)
+
+    dR = so3_exp(dx[:, :3])
+    R_new = jnp.einsum("pij,pjk->pik", dR, R, precision=_HI)
+    t_new = jnp.einsum("pij,pj->pi", dR, t, precision=_HI) + dx[:, 3:]
+    return R_new, t_new, cost
+
+
 def optimize_pose_graph(pg: PoseGraph, mesh: Mesh | None = None,
                         iterations: int = 10, damping: float = 1e-3,
-                        fix_first: bool = True):
-    """LM with accept/reject; returns (R, t, costs [iterations])."""
+                        fix_first: bool = True, solver: str = "dense",
+                        cg_iters: int = 200, cg_tol: float = 1e-6):
+    """LM with accept/reject; returns (R, t, costs [iterations]).
+
+    solver="dense" materializes H (fine for tens of keyframes);
+    solver="cg" is the matrix-free edge-list path for large graphs.
+    """
     if mesh is not None:
         pg = pg.pad_edges(mesh.shape["data"])
 
@@ -194,7 +295,11 @@ def optimize_pose_graph(pg: PoseGraph, mesh: Mesh | None = None,
 
         def body(carry, _):
             R, t, lam, c_cur = carry
-            Rn, tn, _ = _gn_step(R, t, pg, mesh, lam, fix_first)
+            if solver == "cg":
+                Rn, tn, _ = _gn_step_cg(R, t, pg, mesh, lam, fix_first,
+                                        cg_iters, cg_tol)
+            else:
+                Rn, tn, _ = _gn_step(R, t, pg, mesh, lam, fix_first)
             c_new = cost_of(Rn, tn)
             ok = c_new < c_cur
             R = jnp.where(ok, Rn, R)

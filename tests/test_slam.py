@@ -161,3 +161,148 @@ def test_pose_graph_sharded_matches():
     R8, t8, c8 = optimize_pose_graph(pg, mesh=mesh, iterations=6)
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t8),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_ba_cg_matches_dense():
+    """Matrix-free Schur/CG step must match the dense Schur solver on
+    a problem small enough for both."""
+    from klt_tpu.slam import bundle_adjust_cg
+    rng = np.random.RandomState(2)
+    prob, R_true, t_true, lm_true = _synthetic_problem(rng)
+    Rd, td, lmd, cd = bundle_adjust(prob, iterations=10, damping=1e-4)
+    Rc, tc, lmc, cc = bundle_adjust_cg(prob, iterations=10,
+                                       damping=1e-4)
+    cd, cc = np.asarray(cd), np.asarray(cc)
+    assert cc[-1] < cc[0] * 1e-4
+    # both reach the same optimum
+    np.testing.assert_allclose(np.asarray(lmc), np.asarray(lmd),
+                               rtol=0, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(tc), np.asarray(td),
+                               rtol=0, atol=2e-3)
+
+
+def test_ba_cg_sharded_matches_single():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from klt_tpu.parallel.mesh import make_mesh
+    from klt_tpu.slam import bundle_adjust_cg
+    rng = np.random.RandomState(3)
+    prob, *_ = _synthetic_problem(rng, n_pose=3, n_lm=40, noise=0.2)
+    mesh = make_mesh({"data": 8})
+    R1, t1, lm1, c1 = bundle_adjust_cg(prob, iterations=5)
+    R8, t8, lm8, c8 = bundle_adjust_cg(prob, mesh=mesh, iterations=5)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c8),
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(lm1), np.asarray(lm8),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_ba_cg_large_scale_sharded():
+    """The north-star scale contract: >= 200 keyframes x >= 20k
+    landmarks, observation-sharded over the 8-device mesh, W never
+    materialized.  (Dense W here would be 200*20000*6*3 f32 = 288 MB
+    per mesh step; the CG path streams it.)"""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from klt_tpu.parallel.mesh import make_mesh
+    from klt_tpu.slam import bundle_adjust_cg
+    from klt_tpu.slam.geometry import so3_exp, project
+
+    rng = np.random.RandomState(4)
+    n_pose, n_lm, obs_per_lm = 200, 20000, 4
+    fx = fy = 300.0
+    cx, cy = 160.0, 120.0
+    lm = rng.uniform([-4, -4, 4], [4, 4, 12],
+                     (n_lm, 3)).astype(np.float32)
+    R_true = np.stack([np.asarray(so3_exp(jnp.asarray(
+        rng.randn(3).astype(np.float32) * 0.01)))
+        for _ in range(n_pose)])
+    t_true = np.stack([[0.02 * p, 0, 0] for p in range(n_pose)]
+                      ).astype(np.float32)
+    # each landmark observed by a contiguous window of poses
+    first = rng.randint(0, n_pose - obs_per_lm, n_lm)
+    cam_idx = (first[:, None] +
+               np.arange(obs_per_lm)[None, :]).reshape(-1).astype(np.int32)
+    lm_idx = np.repeat(np.arange(n_lm, dtype=np.int32), obs_per_lm)
+    p_cam = np.einsum("mij,mj->mi", R_true[cam_idx],
+                      lm[lm_idx]) + t_true[cam_idx]
+    uv = np.asarray(project(jnp.asarray(p_cam), fx, fy, cx, cy))
+
+    lm0 = lm + 0.02 * rng.randn(*lm.shape).astype(np.float32)
+    prob = BAProblem(
+        R=jnp.asarray(R_true), t=jnp.asarray(t_true),
+        landmarks=jnp.asarray(lm0),
+        cam_idx=jnp.asarray(cam_idx), lm_idx=jnp.asarray(lm_idx),
+        uv=jnp.asarray(uv.astype(np.float32)),
+        weight=jnp.ones(len(cam_idx), jnp.float32),
+        fx=fx, fy=fy, cx=cx, cy=cy)
+    mesh = make_mesh({"data": 8})
+    R, t, lmf, costs = bundle_adjust_cg(prob, mesh=mesh, iterations=8,
+                                        damping=1e-4, cg_iters=120)
+    costs = np.asarray(costs)
+    assert costs[-1] < costs[0] * 1e-2
+    assert np.abs(np.asarray(lmf) - lm).max() < 2e-2
+
+
+def test_pose_graph_cg_matches_dense():
+    """Matrix-free edge-list CG vs the dense H solve."""
+    from klt_tpu.slam.pose_graph import optimize_pose_graph
+    rng = np.random.RandomState(5)
+    pg, *_ = _synthetic_pose_graph(rng, n_pose=8, noise=0.02)
+    Rd, td, cd = optimize_pose_graph(pg, iterations=8, solver="dense")
+    Rc, tc, cc = optimize_pose_graph(pg, iterations=8, solver="cg")
+    np.testing.assert_allclose(np.asarray(cc)[-1], np.asarray(cd)[-1],
+                               rtol=1e-3, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(tc), np.asarray(td),
+                               rtol=0, atol=1e-3)
+
+
+def test_pose_graph_cg_sharded_large():
+    """Large chain+loop-closure graph (800 keyframes), edge-sharded
+    over the 8-device mesh, H never materialized (dense H would be
+    [800,6,800,6] = 92 MB via 640k segments)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from klt_tpu.parallel.mesh import make_mesh
+    from klt_tpu.slam.pose_graph import optimize_pose_graph, PoseGraph
+    from klt_tpu.slam.geometry import so3_exp
+
+    rng = np.random.RandomState(6)
+    n = 800
+    R_true = [np.eye(3, dtype=np.float32)]
+    t_true = [np.zeros(3, np.float32)]
+    for p in range(1, n):
+        w = rng.randn(3).astype(np.float32) * 0.01
+        R_true.append(np.asarray(so3_exp(jnp.asarray(w))) @ R_true[-1])
+        t_true.append(t_true[-1] + [0.05, 0, 0])
+    R_true = np.stack(R_true); t_true = np.stack(t_true)
+
+    ei = np.arange(n - 1, dtype=np.int32)
+    ej = ei + 1
+    # loop closures every 50 frames
+    li = np.arange(0, n - 50, 50, dtype=np.int32)
+    ei = np.concatenate([ei, li]); ej = np.concatenate([ej, li + 50])
+    Rz = np.einsum("eij,ekj->eik", R_true[ei], R_true[ej])
+    tz = t_true[ei] - np.einsum("eij,ej->ei", Rz, t_true[ej])
+
+    # noisy initialization
+    R0 = np.stack([np.asarray(so3_exp(jnp.asarray(
+        rng.randn(3).astype(np.float32) * (0 if p == 0 else 0.005)))) @
+        R_true[p] for p in range(n)])
+    t0 = t_true + 0.01 * rng.randn(n, 3).astype(np.float32)
+    t0[0] = t_true[0]
+
+    pg = PoseGraph(R=jnp.asarray(R0), t=jnp.asarray(t0),
+                   ei=jnp.asarray(ei), ej=jnp.asarray(ej),
+                   Rz=jnp.asarray(Rz.astype(np.float32)),
+                   tz=jnp.asarray(tz.astype(np.float32)),
+                   weight=jnp.ones(len(ei), jnp.float32))
+    mesh = make_mesh({"data": 8})
+    R, t, costs = optimize_pose_graph(pg, mesh=mesh, iterations=8,
+                                      solver="cg", damping=1e-4,
+                                      cg_iters=400)
+    costs = np.asarray(costs)
+    assert costs[-1] < costs[0] * 1e-2
+    # low-frequency chain modes converge last under block-Jacobi CG;
+    # 0.03 on a 40-unit trajectory is ~0.07% drift
+    assert np.abs(np.asarray(t) - t_true).max() < 3e-2
