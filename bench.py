@@ -1,7 +1,8 @@
 """Benchmark: KLT tracking throughput + accuracy vs the CPU reference.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "configs": {...one entry per BASELINE.json config...}}
 
 Primary metric mirrors the reference's own harness (clock() around
 KLTTrackFeatures only, src/V3/example3GPU.c:61-65) on its profiled
@@ -9,11 +10,17 @@ config: images_provided, 150 features, 2-level pyramid, sequential mode.
 Baseline: 11.85 ms per frame-pair on the reference CPU
 (src/V1/example3_analysis.txt:46) = 84.39 frames/s.
 
-The timing loop repeats the whole-sequence device program with a
-perturbed start each repetition so XLA cannot hoist the work out of the
-repeat loop; elapsed time is measured around a single dispatch
-(dispatch latency to the tunneled TPU is ~60 ms, so per-pair cost must
-be amortized on device).
+The BASELINE.json configs covered (see that file):
+  1. images_provided 150 feat           -> primary metric
+  2. images_traffic 500 feat, full 551 frames, per-frame replacement
+     (device-resident, in-scan) + writeFeatures output
+  3. images_laptops 2000 feat, affine consistency, 4-level pyramid
+  4. batched multi-sequence: 3 datasets x 4096 features concurrently
+  5. front-end -> keyframes -> distributed Schur/CG bundle adjustment
+
+Timing loops repeat whole-sequence device programs (dispatch latency to
+the tunneled TPU is ~30-60 ms, so per-pair cost must amortize on
+device) with perturbed starts so XLA cannot hoist the work.
 """
 
 import json
@@ -26,32 +33,30 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CPU_BASELINE_FPS = 1.0 / 0.01185  # reference: 11.85 ms / frame-pair
+DATA = "/root/reference/data"
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    import klt_tpu as klt
+def _seed(klt, frames0, n, cfg):
+    tracker = klt.KLTracker(cfg)
+    fl = klt.FeatureList.create(n)
+    tracker.select_good_features(frames0, fl)
+    return fl
+
+
+def _load(klt, name, lo, hi):
+    d = os.path.join(DATA, name)
+    return np.stack([klt.read_pgm(os.path.join(d, f"img{i}.pgm"))
+                     for i in range(lo, hi)])
+
+
+def bench_flagship(jax, jnp, klt, cfg, result):
     from klt_tpu.runtime.pipeline import track_sequence
     from klt_tpu.io.features_io import read_feature_table
 
-    klt.set_verbosity(0)
-    cfg = klt.TrackingConfig(sequential_mode=True)
-
-    data = "/root/reference/data/images_provided"
-    frames = np.stack([klt.read_pgm(os.path.join(data, f"img{i}.pgm"))
-                       for i in range(10)])
-
-    # Selection (one-time, like the reference example3).
-    tracker = klt.KLTracker(cfg)
-    fl = klt.FeatureList.create(150)
-    tracker.select_good_features(frames[0], fl)
-
+    frames = _load(klt, "images_provided", 0, 10)
+    fl = _seed(klt, frames[0], 150, cfg)
     frames_dev = jax.device_put(frames)
-    x0 = jax.device_put(fl.x)
-    y0 = jax.device_put(fl.y)
-    v0 = jax.device_put(fl.val)
-
+    x0, y0, v0 = (jax.device_put(a) for a in (fl.x, fl.y, fl.val))
     n_pairs = frames.shape[0] - 1
     reps = 100
 
@@ -72,18 +77,13 @@ def main():
         best = min(best, (time.perf_counter() - t0) / (reps * n_pairs))
     fps = 1.0 / best
 
-    # Accuracy vs the committed golden table (unperturbed run).
     tables = track_sequence(frames_dev, x0, y0, v0, cfg)
     jax.block_until_ready(tables)
-    drift_px = None
-    status_agree = None
     golden = "/root/reference/src/V1/feat/features2.ft"
     if os.path.exists(golden):
         xs, ys, vs = (np.asarray(t) for t in tables)
         oracle = read_feature_table(golden)
-        dmax = 0.0
-        agree = 0
-        total = 0
+        dmax, agree, total = 0.0, 0, 0
         for t in range(n_pairs):
             ox, oy, ov = oracle.x[:, t], oracle.y[:, t], oracle.val[:, t]
             agree += int((vs[t] == ov).sum())
@@ -92,46 +92,245 @@ def main():
             if both.any():
                 d = np.hypot(xs[t] - ox, ys[t] - oy)[both]
                 dmax = max(dmax, float(d.max()))
-        drift_px = dmax
-        status_agree = agree / total
+        result["drift_px_vs_cpu_golden"] = dmax
+        result["status_agreement"] = agree / total
+    result["value"] = round(fps, 2)
+    result["vs_baseline"] = round(fps / CPU_BASELINE_FPS, 2)
+
+
+def bench_traffic_replace(jax, jnp, klt, out):
+    """Config 2: 500 features, full 551-frame sequence, per-frame
+    device-resident replacement inside the scan, writeFeatures output."""
+    from klt_tpu.runtime.pipeline import track_sequence_replace
+
+    cfg = klt.TrackingConfig(sequential_mode=True)
+    frames = _load(klt, "images_traffic", 1, 552)
+    fl = _seed(klt, frames[0], 500, cfg)
+    n_frames = frames.shape[0]
+    chunk = 128
+
+    x = jnp.asarray(fl.x)
+    y = jnp.asarray(fl.y)
+    v = jnp.asarray(fl.val)
+    ft = klt.FeatureTable.create(n_frames, 500)
+    ft.store_list(fl, 0)
+
+    def run(x, y, v, collect):
+        done = 1
+        while done < n_frames:
+            hi = min(done + chunk, n_frames)
+            fb = jax.device_put(frames[done - 1:hi])
+            xs, ys, vs = track_sequence_replace(fb, x, y, v, cfg)
+            x, y, v = xs[-1], ys[-1], vs[-1]
+            if collect:
+                xs = np.asarray(xs)
+                ys_ = np.asarray(ys)
+                vs = np.asarray(vs)
+                for k in range(xs.shape[0]):
+                    ft.x[:, done + k] = xs[k]
+                    ft.y[:, done + k] = ys_[k]
+                    ft.val[:, done + k] = vs[k]
+            done = hi
+        jax.block_until_ready((x, y, v))
+        return x, y, v
+
+    run(x, y, v, collect=True)  # compile + collect the table output
+    t0 = time.perf_counter()
+    xf, yf, vf = run(x, y, v, collect=False)
+    dt = time.perf_counter() - t0
+    klt.write_feature_table(ft, "/tmp/traffic_features.ft")
+    out["traffic_500feat_replace_551f"] = {
+        "frames_per_s": round((n_frames - 1) / dt, 1),
+        "vs_baseline_fps": round((n_frames - 1) / dt / CPU_BASELINE_FPS,
+                                 1),
+        "final_live_features": int((np.asarray(vf) >= 0).sum()),
+        "write_features_output": "/tmp/traffic_features.ft",
+    }
+
+
+def bench_laptops_affine(jax, jnp, klt, out):
+    """Config 3: 2000 features, affine consistency check, 4-level
+    pyramid, subpixel LK, on the 640x480 laptops sequence."""
+    from klt_tpu.runtime.pipeline import track_sequence_affine
+
+    cfg = klt.TrackingConfig(sequential_mode=True,
+                             affine_consistency_check=2,
+                             n_pyramid_levels=4, subsampling=2)
+    frames = _load(klt, "images_laptops", 1, 101)
+    fl = _seed(klt, frames[0], 2000, cfg)
+    fd = jax.device_put(frames)
+    x0, y0, v0 = (jax.device_put(a) for a in (fl.x, fl.y, fl.val))
+    n_pairs = frames.shape[0] - 1
+
+    r = track_sequence_affine(fd, x0, y0, v0, cfg)
+    jax.block_until_ready(r)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        r = track_sequence_affine(fd, x0 + 1e-4, y0, v0, cfg)
+        jax.block_until_ready(r)
+        best = min(best, (time.perf_counter() - t0) / n_pairs)
+    vs_final = np.asarray(r[2][-1])
+    out["laptops_2000feat_affine_4level"] = {
+        "frames_per_s": round(1.0 / best, 1),
+        "vs_baseline_fps": round(1.0 / best / CPU_BASELINE_FPS, 1),
+        "frames": int(frames.shape[0]),
+        "final_live_features": int((vs_final >= 0).sum()),
+    }
+
+
+def bench_batched_3x4096(jax, jnp, klt, out):
+    """Config 4: all three datasets tracked CONCURRENTLY, 4096 features
+    each, one batched kernel invocation per level per step (the
+    single-chip slice of the 8-chip data-parallel config; sharding over
+    chips is validated functionally on the CPU mesh + dryrun)."""
+    from klt_tpu.parallel.batched_lk import track_sequences_batched
+
+    cfg = klt.TrackingConfig(sequential_mode=True)
+    t_frames = 10
+    n = 4096
+    seqs, xs, ys, vs = [], [], [], []
+    for name, lo in (("images_provided", 0), ("images_traffic", 1),
+                     ("images_laptops", 1)):
+        fr = _load(klt, name, lo, lo + t_frames)
+        # features seeded on the ORIGINAL frame (the padded seam would
+        # otherwise attract fake corners), then pad to a 480x640 canvas
+        fl = _seed(klt, fr[0], n, cfg)
+        xs.append(fl.x)
+        ys.append(fl.y)
+        vs.append(fl.val)
+        ph, pw = 480 - fr.shape[1], 640 - fr.shape[2]
+        seqs.append(np.pad(fr, ((0, 0), (0, ph), (0, pw))))
+    frames = np.stack(seqs)  # [3, T, 480, 640]
+    x = jnp.asarray(np.stack(xs))
+    y = jnp.asarray(np.stack(ys))
+    v = jnp.asarray(np.stack(vs))
+    fd = jax.device_put(frames)
+
+    r = track_sequences_batched(fd, x, y, v, cfg)
+    jax.block_until_ready(r)
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        r = track_sequences_batched(fd, x + 1e-4 * i, y, v, cfg)
+    jax.block_until_ready(r)
+    dt = (time.perf_counter() - t0) / reps
+    agg = 3 * (t_frames - 1) / dt
+    out["batched_3seq_4096feat"] = {
+        "aggregate_frames_per_s": round(agg, 1),
+        "tracked_features_per_s": round(agg * n, 0),
+        "final_live_features": [int((np.asarray(r[2][-1][b]) >= 0).sum())
+                                for b in range(3)],
+    }
+
+
+def bench_slam_e2e(jax, jnp, klt, out):
+    """Config 5: laptops front end (device scan + in-scan replacement)
+    -> chains -> keyframes -> matrix-free Schur/CG bundle adjustment."""
+    from klt_tpu.runtime.pipeline import track_sequence_replace
+    from klt_tpu.slam import (tracks_from_table, select_keyframes,
+                              BAProblem, bundle_adjust_cg)
+
+    cfg = klt.TrackingConfig(sequential_mode=True)
+    n_frames, n_feat = 200, 1000
+    frames = _load(klt, "images_laptops", 1, n_frames + 1)
+    fl = _seed(klt, frames[0], n_feat, cfg)
+    ft = klt.FeatureTable.create(n_frames, n_feat)
+    ft.store_list(fl, 0)
+
+    fd = jax.device_put(frames)
+    t0 = time.perf_counter()
+    xs, ys, vs = track_sequence_replace(
+        fd, jnp.asarray(fl.x), jnp.asarray(fl.y), jnp.asarray(fl.val),
+        cfg)
+    jax.block_until_ready(vs)
+    fe_compile_and_run = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    xs, ys, vs = track_sequence_replace(
+        fd, jnp.asarray(fl.x), jnp.asarray(fl.y), jnp.asarray(fl.val),
+        cfg)
+    jax.block_until_ready(vs)
+    fe_s = time.perf_counter() - t0
+    xs, ys, vs = np.asarray(xs), np.asarray(ys), np.asarray(vs)
+    ft.x[:, 1:] = xs.T
+    ft.y[:, 1:] = ys.T
+    ft.val[:, 1:] = vs.T
+
+    tid, frame, u, v = tracks_from_table(ft.x, ft.y, ft.val,
+                                         min_length=3)
+    kfs = select_keyframes(ft.val, overlap_thresh=0.8)
+    kf_set = {int(f): i for i, f in enumerate(kfs)}
+    keep = np.isin(frame, kfs)
+    tid, frame, u, v = tid[keep], frame[keep], u[keep], v[keep]
+    ids, counts = np.unique(tid, return_counts=True)
+    keep = np.isin(tid, ids[counts >= 2])
+    tid, frame, u, v = tid[keep], frame[keep], u[keep], v[keep]
+    _, tid = np.unique(tid, return_inverse=True)
+    lm_idx = tid.astype(np.int32)
+    cam_idx = np.asarray([kf_set[int(f)] for f in frame], np.int32)
+    n_pose, n_lm = len(kfs), int(lm_idx.max()) + 1
+    h, w = frames.shape[1:3]
+    fx = fy = 0.9 * w
+    cx, cy = w / 2.0, h / 2.0
+    lm0 = np.zeros((n_lm, 3), np.float32)
+    first = np.full(n_lm, -1, np.int64)
+    for m in range(len(lm_idx) - 1, -1, -1):
+        first[lm_idx[m]] = m
+    lm0[:, 0] = (u[first] - cx) / fx
+    lm0[:, 1] = (v[first] - cy) / fy
+    lm0[:, 2] = 1.0
+    prob = BAProblem(
+        R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
+                           (n_pose, 3, 3)).copy(),
+        t=jnp.zeros((n_pose, 3), jnp.float32),
+        landmarks=jnp.asarray(lm0),
+        cam_idx=jnp.asarray(cam_idx), lm_idx=jnp.asarray(lm_idx),
+        uv=jnp.asarray(np.stack([u, v], -1).astype(np.float32)),
+        weight=jnp.ones(len(cam_idx), jnp.float32),
+        fx=fx, fy=fy, cx=cx, cy=cy)
+    t0 = time.perf_counter()
+    R, t, lm, costs = bundle_adjust_cg(prob, iterations=15)
+    jax.block_until_ready(costs)
+    ba_s = time.perf_counter() - t0
+    costs = np.asarray(costs)
+    out["slam_frontend_ba"] = {
+        "frontend_frames_per_s": round((n_frames - 1) / fe_s, 1),
+        "frames": n_frames, "features": n_feat,
+        "keyframes": int(n_pose), "landmarks": int(n_lm),
+        "observations": int(len(cam_idx)),
+        "ba_seconds": round(ba_s, 2),
+        "reproj_rms_px": [round(float(np.sqrt(
+            costs[i] / max(len(cam_idx), 1))), 3) for i in (0, -1)],
+    }
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import klt_tpu as klt
+
+    klt.set_verbosity(0)
+    cfg = klt.TrackingConfig(sequential_mode=True)
 
     result = {
         "metric": "track_frames_per_s (images_provided, 150 feat, "
                   "2-level pyramid, 1 chip)",
-        "value": round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / CPU_BASELINE_FPS, 2),
-        "drift_px_vs_cpu_golden": drift_px,
-        "status_agreement": status_agree,
         "device": str(jax.devices()[0]),
+        "configs": {},
     }
+    bench_flagship(jax, jnp, klt, cfg, result)
 
-    # Secondary: the reference's own GPU benchmark config — 640x480
-    # traffic sequence (src/V3/example3GPU.c CLI), timed the same way
-    # (track only; one long device program amortizes dispatch).
-    traffic = "/root/reference/data/images_traffic"
-    if os.path.isdir(traffic):
-        n_fr = 200
-        fr = np.stack([klt.read_pgm(os.path.join(traffic,
-                                                 f"img{i}.pgm"))
-                       for i in range(1, n_fr + 1)])
-        tr2 = klt.KLTracker(cfg)
-        fl2 = klt.FeatureList.create(150)
-        tr2.select_good_features(fr[0], fl2)
-        fr_dev = jax.device_put(fr)
-        a0 = jax.device_put(fl2.x)
-        b0 = jax.device_put(fl2.y)
-        c0 = jax.device_put(fl2.val)
-
-        out = track_sequence(fr_dev, a0, b0, c0, cfg)
-        jax.block_until_ready(out)
-        best_t = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = track_sequence(fr_dev, a0 + 1e-4, b0, c0, cfg)
-            jax.block_until_ready(out)
-            best_t = min(best_t, (time.perf_counter() - t0) / (n_fr - 1))
-        result["traffic_640x480_frames_per_s"] = round(1.0 / best_t, 2)
+    extras = result["configs"]
+    for fn in (bench_traffic_replace, bench_laptops_affine,
+               bench_batched_3x4096, bench_slam_e2e):
+        try:
+            fn(jax, jnp, klt, extras)
+        except Exception as e:  # a missing dataset must not kill the line
+            extras[fn.__name__] = {"error": repr(e)[:200]}
 
     print(json.dumps(result))
 

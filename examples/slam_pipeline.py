@@ -1,36 +1,102 @@
 """Example: tracking-to-mapping pipeline (beyond-reference extension).
 
-Runs the KLT tracker over a PGM sequence, converts the feature table to
-observation chains, selects keyframes by feature overlap, and refines a
-bundle-adjustment problem (poses + landmarks) from the tracks.
+Runs the device-resident KLT front end (whole-sequence compiled scan
+with in-scan lost-feature replacement) over a PGM sequence, converts
+the feature table to observation chains, selects keyframes by feature
+overlap, and refines a bundle-adjustment problem (poses + landmarks)
+from the tracks with the matrix-free Schur/CG solver.
 
 Monocular initialization here is deliberately simple (identity poses,
-unit-depth back-projection) — the point of the example is the data flow
-FeatureTable -> chains -> keyframes -> distributed BA; see
-tests/test_slam.py for BA accuracy validation on synthetic geometry.
+unit-depth back-projection) — the point of the example is the
+production data flow frames -> FeatureTable -> chains -> keyframes ->
+distributed BA; see tests/test_slam.py for BA accuracy validation on
+synthetic geometry.
 
 Usage:
     python examples/slam_pipeline.py [dataset] [nFeatures] [nFrames]
+                                     [--host] [--chunk N]
 """
 
+import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np  # noqa: E402
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 import klt_tpu as klt  # noqa: E402
 from klt_tpu.io.dataset import find_dataset, ImageSequence  # noqa: E402
 from klt_tpu.slam import (tracks_from_table, select_keyframes,  # noqa: E402
-                          BAProblem, bundle_adjust)
+                          BAProblem, bundle_adjust, bundle_adjust_cg)
+
+
+def frontend_device(seq, n_features, n_frames, cfg, chunk):
+    """Device-resident front end: chunked compiled scans with in-scan
+    replacement (runtime.pipeline.track_sequence_replace)."""
+    from klt_tpu.runtime.pipeline import track_sequence_replace
+
+    tracker = klt.KLTracker(cfg)
+    fl = klt.FeatureList.create(n_features)
+    img0 = seq[0]
+    tracker.select_good_features(img0, fl)
+    ft = klt.FeatureTable.create(n_frames, n_features)
+    ft.store_list(fl, 0)
+
+    x = jnp.asarray(fl.x)
+    y = jnp.asarray(fl.y)
+    v = jnp.asarray(fl.val)
+    t0 = time.perf_counter()
+    done = 1
+    while done < n_frames:
+        hi = min(done + chunk, n_frames)
+        # chunk carries its first frame for the pair step
+        frames = np.stack([seq[i] for i in range(done - 1, hi)])
+        xs, ys, vs = track_sequence_replace(jnp.asarray(frames), x, y,
+                                            v, cfg)
+        xs, ys, vs = np.asarray(xs), np.asarray(ys), np.asarray(vs)
+        for k in range(xs.shape[0]):
+            ft.x[:, done + k] = xs[k]
+            ft.y[:, done + k] = ys[k]
+            ft.val[:, done + k] = vs[k]
+        x, y, v = jnp.asarray(xs[-1]), jnp.asarray(ys[-1]), \
+            jnp.asarray(vs[-1])
+        done = hi
+    dt = time.perf_counter() - t0
+    return ft, (n_frames - 1) / dt
+
+
+def frontend_host(seq, n_features, n_frames, cfg):
+    """Reference-style host loop (KLTracker + native replacement)."""
+    tracker = klt.KLTracker(cfg)
+    fl = klt.FeatureList.create(n_features)
+    ft = klt.FeatureTable.create(n_frames, n_features)
+    img1 = seq[0]
+    tracker.select_good_features(img1, fl)
+    ft.store_list(fl, 0)
+    t0 = time.perf_counter()
+    for i in range(1, n_frames):
+        img2 = seq[i]
+        tracker.track_features(img1, img2, fl)
+        tracker.replace_lost_features(img2, fl)
+        ft.store_list(fl, i)
+        img1 = img2
+    dt = time.perf_counter() - t0
+    return ft, (n_frames - 1) / dt
 
 
 def main():
-    dataset = sys.argv[1] if len(sys.argv) > 1 else "images_provided"
-    n_features = int(sys.argv[2]) if len(sys.argv) > 2 else 150
-    n_frames = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    dataset = args[0] if len(args) > 0 else "images_provided"
+    n_features = int(args[1]) if len(args) > 1 else 150
+    n_frames = int(args[2]) if len(args) > 2 else 10
+    host = "--host" in sys.argv
+    chunk = 64
+    if "--chunk" in sys.argv:
+        chunk = int(sys.argv[sys.argv.index("--chunk") + 1])
 
     path = find_dataset(dataset)
     if path is None:
@@ -39,19 +105,12 @@ def main():
     n_frames = min(n_frames, len(seq))
 
     cfg = klt.TrackingConfig(sequential_mode=True)
-    tracker = klt.KLTracker(cfg)
-    fl = klt.FeatureList.create(n_features)
-    ft = klt.FeatureTable.create(n_frames, n_features)
-
-    img1 = seq[0]
-    tracker.select_good_features(img1, fl)
-    ft.store_list(fl, 0)
-    for i in range(1, n_frames):
-        img2 = seq[i]
-        tracker.track_features(img1, img2, fl)
-        tracker.replace_lost_features(img2, fl)
-        ft.store_list(fl, i)
-        img1 = img2
+    if host:
+        ft, fps = frontend_host(seq, n_features, n_frames, cfg)
+    else:
+        ft, fps = frontend_device(seq, n_features, n_frames, cfg, chunk)
+    print(f"front end: {n_frames - 1} frame pairs at {fps:.1f} fps "
+          f"({'host loop' if host else 'device scan + in-scan replace'})")
 
     # front-end -> back-end handoff
     tid, frame, u, v = tracks_from_table(ft.x, ft.y, ft.val, min_length=3)
@@ -63,7 +122,7 @@ def main():
         # BA demo has multiple views
         kfs = np.arange(0, n_frames, max(1, n_frames // 4), dtype=np.int32)
     print(f"{tid.max() + 1} tracks / {len(tid)} observations; "
-          f"keyframes: {[int(k) for k in kfs]}")
+          f"{len(kfs)} keyframes")
 
     # keep observations on keyframes only, remap frame -> pose index
     kf_set = {int(f): i for i, f in enumerate(kfs)}
@@ -87,12 +146,12 @@ def main():
 
     # unit-depth back-projection from each landmark's first observation
     lm0 = np.zeros((n_lm, 3), np.float32)
-    seen = np.zeros(n_lm, bool)
-    for m in range(len(lm_idx)):
-        l = lm_idx[m]
-        if not seen[l]:
-            lm0[l] = [(u[m] - cx) / fx, (v[m] - cy) / fy, 1.0]
-            seen[l] = True
+    first = np.full(n_lm, -1, np.int64)
+    for m in range(len(lm_idx) - 1, -1, -1):
+        first[lm_idx[m]] = m
+    lm0[:, 0] = (u[first] - cx) / fx
+    lm0[:, 1] = (v[first] - cy) / fy
+    lm0[:, 2] = 1.0
 
     prob = BAProblem(
         R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
@@ -104,13 +163,35 @@ def main():
         weight=jnp.ones(len(cam_idx), jnp.float32),
         fx=fx, fy=fy, cx=cx, cy=cy)
 
-    R, t, lm, costs = bundle_adjust(prob, iterations=20)
+    mesh = None
+    if len(jax.devices()) > 1:
+        from klt_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh({"data": len(jax.devices())})
+
+    t0 = time.perf_counter()
+    if n_pose * n_lm > 50_000:  # dense W would not scale
+        R, t, lm, costs = bundle_adjust_cg(prob, mesh=mesh,
+                                           iterations=20)
+        solver = "schur-cg"
+    else:
+        R, t, lm, costs = bundle_adjust(prob, mesh=mesh, iterations=20)
+        solver = "schur-dense"
+    jax.block_until_ready(costs)
+    ba_s = time.perf_counter() - t0
     costs = np.asarray(costs)
     rms0 = float(np.sqrt(costs[0] / max(len(cam_idx), 1)))
     rms1 = float(np.sqrt(costs[-1] / max(len(cam_idx), 1)))
-    print(f"BA: {n_pose} keyframes x {n_lm} landmarks, "
-          f"{len(cam_idx)} observations")
+    print(f"BA ({solver}): {n_pose} keyframes x {n_lm} landmarks, "
+          f"{len(cam_idx)} observations, {ba_s:.1f}s")
     print(f"reprojection rms: {rms0:.3f} -> {rms1:.3f} px")
+    print(json.dumps({
+        "dataset": dataset, "frontend_fps": round(fps, 1),
+        "n_frames": n_frames, "n_features": n_features,
+        "n_keyframes": int(n_pose), "n_landmarks": int(n_lm),
+        "n_observations": int(len(cam_idx)), "ba_solver": solver,
+        "ba_seconds": round(ba_s, 2),
+        "reproj_rms_px_before": round(rms0, 4),
+        "reproj_rms_px_after": round(rms1, 4)}))
 
 
 if __name__ == "__main__":

@@ -20,6 +20,18 @@ Quick start::
     tracker.track_features(img0, img1, fl)
 """
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Honor JAX_PLATFORMS even under environments whose sitecustomize
+    # registers a PJRT plugin and force-overrides jax_platforms at
+    # interpreter start (the axon TPU tunnel does) — otherwise scripts
+    # that ask for CPU silently initialize (and contend for) the
+    # tunneled TPU.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 from .config import (TrackingConfig, TRACKED, NOT_FOUND, SMALL_DET,
                      MAX_ITERATIONS, OOB, LARGE_RESIDUE)
 from .features import FeatureList, FeatureHistory, FeatureTable

@@ -230,6 +230,76 @@ def onehot_extract_packed(stack: jax.Array, y0: jax.Array, x0: jax.Array,
     return out[:, :ny, :]
 
 
+def pack_stack_channels(stack: jax.Array) -> jax.Array:
+    """[C, H, W] -> channel-block lane packing [H, C*W].
+
+    One relayout per level per frame, amortized over every extraction
+    round that reads it (extract_packed_cb)."""
+    c, h, w = stack.shape
+    return stack.transpose(1, 0, 2).reshape(h, c * w)
+
+
+def extract_packed_cb(stack_packed: jax.Array, y0: jax.Array,
+                      x0: jax.Array, ny: int, nx: int,
+                      c: int = 3) -> jax.Array:
+    """Patch extraction from a channel-packed image, emitting the LK
+    kernel's operand layout [F, ny, C*nx] DIRECTLY — no transposes, no
+    (channel, x) axis merge, so XLA materializes no "data formatting"
+    relayout between the extraction and the Pallas custom call (the
+    dominant cost of the round-1 formulation at large F).
+
+    stack_packed: [H, C*W] (pack_stack_channels).  Row-block-aligned
+    one-hot selection over H/8 blocks, then ONE batched dot against a
+    per-feature block-diagonal column one-hot [C*W, C*nx], then a
+    binary row re-alignment (masked static slices).  One-hot matmuls
+    run at Precision.HIGH (selection exact to the data's low mantissa
+    bits; see onehot_extract_packed).
+    """
+    prec = jax.lax.Precision.HIGH
+    h, cw = stack_packed.shape
+    w_img = cw // c
+    f = y0.shape[0]
+    b = _ROW_BLOCK
+    hp = (-h) % b
+    if hp:
+        stack_packed = jnp.pad(stack_packed, ((0, hp), (0, 0)))
+    nb_img = (h + hp) // b
+    nblk = ny // b + 1
+
+    b0 = y0 // b
+    rem = y0 - b0 * b
+    blocks = (b0[:, None] +
+              jnp.arange(nblk, dtype=jnp.int32)[None, :]).reshape(-1)
+    blocks = jnp.clip(blocks, 0, nb_img - 1)
+    blk_oh = (blocks[:, None] ==
+              jnp.arange(nb_img, dtype=jnp.int32)[None, :]
+              ).astype(jnp.float32)                       # [F*nblk, H/b]
+    st4 = stack_packed.reshape(nb_img, b * cw)
+    band = jnp.einsum("bh,hw->bw", blk_oh, st4, precision=prec,
+                      preferred_element_type=jnp.float32)
+    band = band.reshape(f, nblk * b, cw)                  # [F, 24, C*W]
+
+    # block-diagonal column one-hot: lane j of the output reads lane
+    # (j // nx) * W + x0 + (j % nx) of the packed row
+    j = jnp.arange(c * nx, dtype=jnp.int32)
+    target = (j // nx) * w_img + (j % nx)                 # [C*nx]
+    wp = jnp.arange(cw, dtype=jnp.int32)
+    col_oh = ((x0[:, None, None] + target[None, None, :]) ==
+              wp[None, :, None]).astype(jnp.float32)      # [F, C*W, C*nx]
+    sel = jnp.einsum("frw,fwj->frj", band, col_oh, precision=prec,
+                     preferred_element_type=jnp.float32)  # [F, 24, C*nx]
+
+    out = sel
+    shift = 1
+    while shift < b:
+        bit = ((rem & shift) != 0)[:, None, None]
+        keep = out.shape[1] - shift
+        out = jnp.where(bit, out[:, shift:shift + keep, :],
+                        out[:, :keep, :])
+        shift *= 2
+    return out[:, :ny, :]
+
+
 def select_windows_bilinear(patches: jax.Array, oy: jax.Array,
                             ox: jax.Array, ay: jax.Array, ax: jax.Array,
                             height: int, width: int) -> jax.Array:

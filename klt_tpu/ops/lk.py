@@ -214,7 +214,7 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
     anchor round (klt_tpu/pallas/lk.py).  Semantics mirror the fast
     path below; the outer re-anchor loop stays in XLA."""
     from ..pallas.lk import lk_level_inner
-    from .interp import onehot_extract_packed
+    from .interp import pack_stack_channels, extract_packed_cb
 
     w, h = cfg.window_width, cfg.window_height
     hw, hh = np.float32(w // 2), np.float32(h // 2)
@@ -227,6 +227,12 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
 
     col = lambda v: v[:, None]  # [F] -> [F, 1]
 
+    # channel-packed level images: one relayout each, shared by every
+    # extraction round below (extraction then emits the kernel operand
+    # layout directly — no per-round relayouts)
+    sp1 = pack_stack_channels(stack1)
+    sp2 = pack_stack_channels(stack2)
+
     # first-image raw windows (integer corner, fixed for the level)
     xt1 = x1.astype(jnp.int32)
     yt1 = y1.astype(jnp.int32)
@@ -234,7 +240,7 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
     ay1 = y1 - yt1.astype(jnp.float32)
     x10 = jnp.clip(xt1 - hwi, 0, nc - (w + 1))
     y10 = jnp.clip(yt1 - hhi, 0, nr - (h + 1))
-    p1w = onehot_extract_packed(stack1, y10, x10, h + 1, w + 1)
+    p1w = extract_packed_cb(sp1, y10, x10, h + 1, w + 1)
     oob1 = _window_oob(x1, y1, hw, hh, ncf, nrf)
 
     def anchors(x2c, y2c):
@@ -251,7 +257,7 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
 
     def round_once(x2c, y2c, status, iters, done):
         py0, px0 = anchors(x2c, y2c)
-        p2 = onehot_extract_packed(stack2, py0, px0, k, k)
+        p2 = extract_packed_cb(sp2, py0, px0, k, k)
         fstate = jnp.concatenate(
             [col(x2c), col(y2c), ax1c, ay1c,
              col(px0.astype(jnp.float32)), col(py0.astype(jnp.float32))],

@@ -19,7 +19,7 @@ import numpy as np
 from ..config import TrackingConfig, TRACKED, SMALL_DET, OOB
 from ..ops.lk import (_window_oob, _final_status, _kernel_patch_size,
                       _track_level_gather, track_features_pyramid)
-from ..ops.interp import onehot_extract_packed
+from ..ops.interp import pack_stack_channels, extract_packed_cb
 from ..ops.pyramid import build_image_pyramids
 
 
@@ -44,8 +44,9 @@ def _track_level_kernel_batched(stack1, stack2, x1, y1, x2, y2, active,
 
     flat = lambda v: v.reshape(n)
     col = lambda v: v.reshape(n, 1)
-    extract = jax.vmap(onehot_extract_packed, in_axes=(0, 0, 0, None,
-                                                       None))
+    sp1 = jax.vmap(pack_stack_channels)(stack1)  # [B, H, 3W]
+    sp2 = jax.vmap(pack_stack_channels)(stack2)
+    extract = jax.vmap(extract_packed_cb, in_axes=(0, 0, 0, None, None))
 
     x1f, y1f = flat(x1), flat(y1)
     xt1 = x1.astype(jnp.int32)
@@ -54,7 +55,7 @@ def _track_level_kernel_batched(stack1, stack2, x1, y1, x2, y2, active,
     ay1c = col(y1 - yt1.astype(jnp.float32))
     x10 = jnp.clip(xt1 - hwi, 0, nc - (w + 1))
     y10 = jnp.clip(yt1 - hhi, 0, nr - (h + 1))
-    p1w = extract(stack1, y10, x10, h + 1, w + 1).reshape(
+    p1w = extract(sp1, y10, x10, h + 1, w + 1).reshape(
         n, h + 1, 3 * (w + 1))
     oob1_i = col(_window_oob(x1f, y1f, hw, hh, ncf, nrf).astype(jnp.int32))
 
@@ -70,7 +71,7 @@ def _track_level_kernel_batched(stack1, stack2, x1, y1, x2, y2, active,
 
     def round_once(x2c, y2c, status, iters, done):
         py0, px0 = anchors(x2c.reshape(b, f), y2c.reshape(b, f))
-        p2 = extract(stack2, py0, px0, k, k).reshape(n, k, 3 * k)
+        p2 = extract(sp2, py0, px0, k, k).reshape(n, k, 3 * k)
         fstate = jnp.concatenate(
             [col(x2c), col(y2c), ax1c, ay1c,
              col(px0.astype(jnp.float32)), col(py0.astype(jnp.float32))],

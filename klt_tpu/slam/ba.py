@@ -366,6 +366,8 @@ def bundle_adjust(prob: BAProblem, mesh: Mesh | None = None,
     Returns (R, t, landmarks, costs [iterations]) — costs are the
     accepted cost after each iteration.
     """
+    if mesh is not None:
+        prob = prob.pad_observations(mesh.shape["data"])
     return _lm_drive(prob, mesh, iterations, damping,
                      lambda R, t, lm, lam: _gn_step(
                          R, t, lm, prob, mesh, lam, fix_first))
@@ -382,6 +384,8 @@ def bundle_adjust_cg(prob: BAProblem, mesh: Mesh | None = None,
     Same accept/reject semantics as `bundle_adjust`; prefer this
     whenever n_pose * n_lm is too large to materialize W densely.
     """
+    if mesh is not None:
+        prob = prob.pad_observations(mesh.shape["data"])
     return _lm_drive(prob, mesh, iterations, damping,
                      lambda R, t, lm, lam: _gn_step_cg(
                          R, t, lm, prob, mesh, lam, fix_first,
@@ -390,8 +394,8 @@ def bundle_adjust_cg(prob: BAProblem, mesh: Mesh | None = None,
 
 def _lm_drive(prob: BAProblem, mesh: Mesh | None, iterations: int,
               damping: float, gn_step):
-    if mesh is not None:
-        prob = prob.pad_observations(mesh.shape["data"])
+    # prob must already be padded to the mesh (callers do it before
+    # binding gn_step, which closes over the same padded prob)
 
     @jax.jit
     def run(R, t, lm):

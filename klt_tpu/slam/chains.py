@@ -64,11 +64,16 @@ def select_keyframes(val, overlap_thresh: float = 0.6,
     n, t = val.shape
     keyframes = [0]
     ref_alive = val[:, 0] >= 0
+    surviving = ref_alive.copy()
     for j in range(1, t):
-        alive = val[:, j] >= 0
+        # a slot only SURVIVES while it keeps tracking (val == 0);
+        # val > 0 is a fresh replacement occupying the slot — a
+        # different feature, which must not count as overlap
+        surviving &= val[:, j] == 0
         ref_count = max(int(ref_alive.sum()), 1)
-        overlap = float((ref_alive & alive).sum()) / ref_count
+        overlap = float(surviving.sum()) / ref_count
         if overlap < overlap_thresh and j - keyframes[-1] >= min_gap:
             keyframes.append(j)
-            ref_alive = alive
+            ref_alive = val[:, j] >= 0
+            surviving = ref_alive.copy()
     return np.asarray(keyframes, np.int32)
