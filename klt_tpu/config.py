@@ -52,6 +52,10 @@ class TrackingConfig:
     min_determinant: float = 0.01
     min_displacement: float = 0.1
     max_iterations: int = 10
+    # straight-line re-anchor rounds after the first (perf knob; extra
+    # rounds are deterministic no-ops for converged features; measured
+    # neutral-to-negative on the bundled sequences, so default 0)
+    reanchor_unroll: int = 0
     max_residue: float = 10.0
     grad_sigma: float = 1.0
     smooth_sigma_fact: float = 0.1

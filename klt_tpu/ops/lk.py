@@ -269,10 +269,14 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
         return (fout[:, 0], fout[:, 1], iout[:, 0], iout[:, 1],
                 iout[:, 2], resn)
 
-    # first anchor round always runs; the while only spins for the rare
-    # re-anchor (a feature whose trajectory left its patch margin)
+    # first anchor round always runs; cfg.reanchor_unroll optional
+    # straight-line rounds follow (deterministic no-ops for converged
+    # lanes), then the while_loop tail handles stragglers.
     x2f, y2f, status, iters, done, residue = round_once(
         x2, y2, status0, iters0, done0)
+    for _ in range(cfg.reanchor_unroll):
+        x2f, y2f, status, iters, done, residue = round_once(
+            x2f, y2f, status, iters, done)
 
     def outer(state):
         rounds, x2c, y2c, status, iters, done, _ = state

@@ -83,8 +83,14 @@ def _track_level_kernel_batched(stack1, stack2, x1, y1, x2, y2, active,
         return (fout[:, 0], fout[:, 1], iout[:, 0], iout[:, 1],
                 iout[:, 2], resn)
 
+    # straight-line re-anchor rounds (see ops.lk: the same body inside
+    # lax.while_loop measures far slower; extra rounds are
+    # deterministic no-ops for converged lanes)
     x2c, y2c, status, iters, done, residue = round_once(
         x2f0, y2f0, status0, iters0, done0)
+    for _ in range(cfg.reanchor_unroll):
+        x2c, y2c, status, iters, done, residue = round_once(
+            x2c, y2c, status, iters, done)
 
     def outer(state):
         rounds, x2c, y2c, status, iters, done, _ = state

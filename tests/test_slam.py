@@ -306,3 +306,16 @@ def test_pose_graph_cg_sharded_large():
     # low-frequency chain modes converge last under block-Jacobi CG;
     # 0.03 on a 40-unit trajectory is ~0.07% drift
     assert np.abs(np.asarray(t) - t_true).max() < 3e-2
+
+
+def test_keyframes_replacement_not_survival():
+    """A slot refilled by replacement (val > 0) is a DIFFERENT feature
+    and must not count toward keyframe overlap: with heavy per-frame
+    replacement, keyframes must still be opened."""
+    n, t = 20, 12
+    val = np.zeros((n, t), np.int32)
+    # every frame, half the slots get replaced (fresh val > 0)
+    for j in range(1, t):
+        val[(j % 2)::2, j] = 1000
+    kfs = select_keyframes(val, overlap_thresh=0.7, min_gap=1)
+    assert len(kfs) >= t // 2, f"keyframes {kfs}"

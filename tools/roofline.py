@@ -1,0 +1,128 @@
+"""Roofline / utilization evidence for the hot kernels (VERDICT item:
+make "speed-of-light" measurable).
+
+Profiles one compiled flagship frame-pair program on the real chip and
+reports, per hot component:
+  * pyramid kernel: achieved HBM bandwidth vs the chip peak (the
+    pyramid build is bandwidth-bound by design);
+  * LK level kernel: achieved useful FLOP/s vs the VPU peak, plus its
+    share of the pair;
+  * extraction + glue shares of device time per pair.
+
+Peaks are for TPU v5e (v5 lite): ~819 GB/s HBM, VPU ~ 8 sublanes x
+128 lanes x 2 (fma) x 0.94 GHz ~ 1.9 Tf32op/s per core.
+
+Prints one JSON line consumed by bench.py / PARITY.md.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+HBM_PEAK_GBS = 819.0
+VPU_PEAK_GFLOPS = 1900.0
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    import jax.numpy as jnp
+    import numpy as np
+    import klt_tpu as klt
+    from klt_tpu.config import TrackingConfig
+    from klt_tpu.runtime.pipeline import track_sequence
+    from klt_tpu.utils.profiling import trace, op_breakdown
+
+    klt.set_verbosity(0)
+    cfg = TrackingConfig(sequential_mode=True)
+    data = "/root/reference/data/images_provided"
+    frames = np.stack([klt.read_pgm(os.path.join(data, f"img{i}.pgm"))
+                       for i in range(10)])
+    tracker = klt.KLTracker(cfg)
+    fl = klt.FeatureList.create(150)
+    tracker.select_good_features(frames[0], fl)
+    fd = jax.device_put(frames)
+    x0, y0, v0 = (jax.device_put(a) for a in (fl.x, fl.y, fl.val))
+
+    r = track_sequence(fd, x0, y0, v0, cfg)
+    jax.block_until_ready(r)
+    n_pairs = frames.shape[0] - 1
+    t0 = time.perf_counter()
+    r = track_sequence(fd, x0, y0, v0, cfg)
+    jax.block_until_ready(r)
+    wall_per_pair = (time.perf_counter() - t0) / n_pairs
+
+    with trace("/tmp/roofline_trace"):
+        r = track_sequence(fd, x0, y0, v0, cfg)
+        jax.block_until_ready(r)
+
+    rows = op_breakdown("/tmp/roofline_trace", runs=1, top=200)
+    agg = {"pyramid_kernel": 0.0, "lk_kernel": 0.0, "extraction": 0.0,
+           "other": 0.0}
+    total = 0.0
+    for us, n, cat, src in rows:
+        total += us
+        if "pallas/pyramid" in src:
+            agg["pyramid_kernel"] += us
+        elif "custom-call" in cat:
+            agg["lk_kernel"] += us
+        elif "ops/interp" in src:
+            agg["extraction"] += us
+        else:
+            agg["other"] += us
+
+    h, w = frames.shape[1:]
+    # pyramid kernel bytes per frame: reads the u8 frame, writes the
+    # stacked f32 levels (3 channels each: img, gradx, grady)
+    nlev, ss = cfg.n_pyramid_levels, cfg.subsampling
+    bytes_out = 0
+    hh, ww = h, w
+    for _ in range(nlev):
+        bytes_out += 3 * hh * ww * 4
+        hh //= ss
+        ww //= ss
+    pyr_bytes = h * w + bytes_out
+    pyr_us_per_frame = agg["pyramid_kernel"] / n_pairs  # 1 build/pair
+    pyr_gbs = (pyr_bytes / 1e9) / max(pyr_us_per_frame, 1e-9) * 1e6
+
+    # LK kernel useful FLOPs per pair: per Newton iteration each live
+    # feature does ~40 vector ops on its (window+1)^2 x 3-channel
+    # working set; use the table's iteration counts for an upper bound
+    # of usefulness (conservative: counts only window-sized math)
+    f = 150
+    win = (cfg.window_height + 1) * 3 * (cfg.window_width + 1)
+    iters_per_pair = 2 * 7  # ~7 converged iterations x 2 levels
+    lk_flops = f * win * 40 * iters_per_pair
+    lk_us_per_pair = agg["lk_kernel"] / n_pairs
+    lk_gflops = (lk_flops / 1e9) / max(lk_us_per_pair, 1e-9) * 1e6
+
+    device_per_pair = total / n_pairs
+    out = {
+        "device": str(jax.devices()[0]),
+        "wall_us_per_pair": round(wall_per_pair * 1e6, 1),
+        "device_us_per_pair": round(device_per_pair, 1),
+        "shares": {k: round(v / max(total, 1e-9), 3)
+                   for k, v in agg.items()},
+        "pyramid": {
+            "us_per_frame": round(pyr_us_per_frame, 1),
+            "bytes_per_frame": pyr_bytes,
+            "achieved_GB_s": round(pyr_gbs, 1),
+            "pct_of_HBM_peak": round(100 * pyr_gbs / HBM_PEAK_GBS, 1),
+        },
+        "lk_kernel": {
+            "us_per_pair": round(lk_us_per_pair, 1),
+            "useful_GFLOP_s": round(lk_gflops, 1),
+            "pct_of_VPU_peak": round(100 * lk_gflops / VPU_PEAK_GFLOPS,
+                                     1),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
