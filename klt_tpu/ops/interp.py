@@ -258,26 +258,7 @@ def extract_packed_cb(stack_packed: jax.Array, y0: jax.Array,
     prec = jax.lax.Precision.HIGH
     h, cw = stack_packed.shape
     w_img = cw // c
-    f = y0.shape[0]
-    b = _ROW_BLOCK
-    hp = (-h) % b
-    if hp:
-        stack_packed = jnp.pad(stack_packed, ((0, hp), (0, 0)))
-    nb_img = (h + hp) // b
-    nblk = ny // b + 1
-
-    b0 = y0 // b
-    rem = y0 - b0 * b
-    blocks = (b0[:, None] +
-              jnp.arange(nblk, dtype=jnp.int32)[None, :]).reshape(-1)
-    blocks = jnp.clip(blocks, 0, nb_img - 1)
-    blk_oh = (blocks[:, None] ==
-              jnp.arange(nb_img, dtype=jnp.int32)[None, :]
-              ).astype(jnp.float32)                       # [F*nblk, H/b]
-    st4 = stack_packed.reshape(nb_img, b * cw)
-    band = jnp.einsum("bh,hw->bw", blk_oh, st4, precision=prec,
-                      preferred_element_type=jnp.float32)
-    band = band.reshape(f, nblk * b, cw)                  # [F, 24, C*W]
+    band, rem = _band_select(stack_packed, y0, ny)
 
     # block-diagonal column one-hot: lane j of the output reads lane
     # (j // nx) * W + x0 + (j % nx) of the packed row
@@ -288,16 +269,79 @@ def extract_packed_cb(stack_packed: jax.Array, y0: jax.Array,
               wp[None, :, None]).astype(jnp.float32)      # [F, C*W, C*nx]
     sel = jnp.einsum("frw,fwj->frj", band, col_oh, precision=prec,
                      preferred_element_type=jnp.float32)  # [F, 24, C*nx]
+    return _realign_rows(sel, rem, ny)
 
+
+def _band_select(stack_packed: jax.Array, y0: jax.Array, ny: int):
+    """Row-block-aligned band selection shared by the packed
+    extractors: returns (band [F, nblk*8, C*W], rem [F])."""
+    prec = jax.lax.Precision.HIGH
+    h, cw = stack_packed.shape
+    b = _ROW_BLOCK
+    hp = (-h) % b
+    if hp:
+        stack_packed = jnp.pad(stack_packed, ((0, hp), (0, 0)))
+    nb_img = (h + hp) // b
+    nblk = ny // b + 1
+    f = y0.shape[0]
+    b0 = y0 // b
+    rem = y0 - b0 * b
+    blocks = (b0[:, None] +
+              jnp.arange(nblk, dtype=jnp.int32)[None, :]).reshape(-1)
+    blocks = jnp.clip(blocks, 0, nb_img - 1)
+    blk_oh = (blocks[:, None] ==
+              jnp.arange(nb_img, dtype=jnp.int32)[None, :]
+              ).astype(jnp.float32)
+    st4 = stack_packed.reshape(nb_img, b * cw)
+    band = jnp.einsum("bh,hw->bw", blk_oh, st4, precision=prec,
+                      preferred_element_type=jnp.float32)
+    return band.reshape(f, nblk * b, cw), rem
+
+
+def _realign_rows(sel: jax.Array, rem: jax.Array, ny: int):
+    """Binary row re-alignment by rem in [0, 8)."""
     out = sel
     shift = 1
-    while shift < b:
+    while shift < _ROW_BLOCK:
         bit = ((rem & shift) != 0)[:, None, None]
         keep = out.shape[1] - shift
         out = jnp.where(bit, out[:, shift:shift + keep, :],
                         out[:, :keep, :])
         shift *= 2
     return out[:, :ny, :]
+
+
+def extract_flat(stack_packed: jax.Array, y0: jax.Array, x0: jax.Array,
+                 ny: int, nx: int, k: int, c: int = 3) -> jax.Array:
+    """Patch extraction onto a flattened-lane K-canvas [F, c*k*k] (the
+    v2 LK kernel's operand layout, pallas/lk2.py): lane
+    J = r*(c*k) + ch*k + i holds channel ch of patch pixel (r, i);
+    rows >= ny / cols >= nx stay zero.
+
+    Same row-block one-hot + block-diagonal column one-hot as
+    extract_packed_cb, with the canvas geometry folded into the column
+    one-hot so the only layout op is the final rows->lanes reshape."""
+    prec = jax.lax.Precision.HIGH
+    h, cw = stack_packed.shape
+    w_img = cw // c
+    f = y0.shape[0]
+    band, rem = _band_select(stack_packed, y0, ny)
+
+    j = jnp.arange(c * k, dtype=jnp.int32)
+    ch = j // k
+    i = j % k
+    target = ch * w_img + i                     # [c*k]
+    valid = (i < nx)
+    wp = jnp.arange(cw, dtype=jnp.int32)
+    col_oh = (((x0[:, None, None] + target[None, None, :]) ==
+               wp[None, :, None]) &
+              valid[None, None, :]).astype(jnp.float32)  # [F, C*W, c*k]
+    sel = jnp.einsum("frw,fwj->frj", band, col_oh, precision=prec,
+                     preferred_element_type=jnp.float32)
+    out = _realign_rows(sel, rem, ny)           # [F, ny, c*k]
+    if ny < k:
+        out = jnp.pad(out, ((0, 0), (0, k - ny), (0, 0)))
+    return out.reshape(f, c * k * k)
 
 
 def select_windows_bilinear(patches: jax.Array, oy: jax.Array,

@@ -213,8 +213,10 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
     """track_level with the whole Newton loop in one Pallas kernel per
     anchor round (klt_tpu/pallas/lk.py).  Semantics mirror the fast
     path below; the outer re-anchor loop stays in XLA."""
+    import os
     from ..pallas.lk import lk_level_inner
-    from .interp import pack_stack_channels, extract_packed_cb
+    from .interp import (pack_stack_channels, extract_packed_cb,
+                         extract_flat)
 
     w, h = cfg.window_width, cfg.window_height
     hw, hh = np.float32(w // 2), np.float32(h // 2)
@@ -240,7 +242,21 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
     ay1 = y1 - yt1.astype(jnp.float32)
     x10 = jnp.clip(xt1 - hwi, 0, nc - (w + 1))
     y10 = jnp.clip(yt1 - hhi, 0, nr - (h + 1))
-    p1w = extract_packed_cb(sp1, y10, x10, h + 1, w + 1)
+    # v2 (flattened-lane kernel, pallas/lk2.py) vs v1 ([F, K, 3K]
+    # kernel).  KLT_TPU_LK_V1=1 forces the v1 path (trace-time; set
+    # before first use).
+    from ..pallas import lk2
+    use_v2 = (os.environ.get("KLT_TPU_LK_V1", "0") != "1"
+              and lk2.supported(cfg, k))
+    if use_v2:
+        inner = lk2.lk_level_inner_flat
+        p1w = extract_flat(sp1, y10, x10, h + 1, w + 1, k)
+        extract2 = lambda py0, px0: extract_flat(sp2, py0, px0, k, k, k)
+    else:
+        inner = lk_level_inner
+        p1w = extract_packed_cb(sp1, y10, x10, h + 1, w + 1)
+        extract2 = lambda py0, px0: extract_packed_cb(sp2, py0, px0,
+                                                      k, k)
     oob1 = _window_oob(x1, y1, hw, hh, ncf, nrf)
 
     def anchors(x2c, y2c):
@@ -257,15 +273,15 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
 
     def round_once(x2c, y2c, status, iters, done):
         py0, px0 = anchors(x2c, y2c)
-        p2 = extract_packed_cb(sp2, py0, px0, k, k)
+        p2 = extract2(py0, px0)
         fstate = jnp.concatenate(
             [col(x2c), col(y2c), ax1c, ay1c,
              col(px0.astype(jnp.float32)), col(py0.astype(jnp.float32))],
             axis=1)
         istate = jnp.concatenate(
             [col(status), col(iters), col(done), oob1_i], axis=1)
-        fout, iout, resn = lk_level_inner(p1w, p2, fstate, istate,
-                                          cfg, k, nc, nr)
+        fout, iout, resn = inner(p1w, p2, fstate, istate,
+                                 cfg, k, nc, nr)
         return (fout[:, 0], fout[:, 1], iout[:, 0], iout[:, 1],
                 iout[:, 2], resn)
 

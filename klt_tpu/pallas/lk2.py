@@ -1,0 +1,297 @@
+"""Flattened-lane Lucas-Kanade level kernel (v2).
+
+Same contract as pallas/lk.py's lk_level_inner, but each feature's
+whole patch lives in the LANE dimension of a rank-2 array:
+
+    p[F, J],   J = r * (3K) + c * K + i        (row, channel, column)
+
+so a K x 3K f32 patch occupies K*3K = 768 lanes = exactly 6 (8,128)
+vector tiles with ZERO padding, where the v1 layout [F, K, 3K] padded
+48 lanes up to 128 (2 full vregs per feature, 62% wasted).  Every
+per-iteration step becomes static lane-rolls + masked selects on
+[F, 768] arrays:
+
+  * window selection (integer offsets oy, ox) — binary-decomposed
+    masked static rolls (8 select steps for oy, ox in [0, 15]);
+  * bilinear blend — 3 static rolls (+1 lane, +RS lanes, +RS+1) and
+    4 fused multiply-adds, all channels at once;
+  * diff/grad-sum — ONE multiply-add with a per-channel sign mask;
+  * the five Newton sums — 3 elementwise products against
+    channel-rotated copies, then ONE segmented roll-tree reduction per
+    product array (valid lanes pre-masked; wrap pollution only touches
+    lanes that are never read);
+  * per-feature scalars stay [F, 1] exactly as v1.
+
+Semantics are identical to v1 (and therefore to the C reference's
+_trackFeature, src/V1/trackFeatures.c:381-486): same status codes,
+check order, stall/re-anchor behavior, f32 arithmetic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import TrackingConfig, TRACKED, SMALL_DET, OOB
+
+_EPS = np.float32(1.001)  # reference: src/V1/trackFeatures.c:409
+
+# packed f32 state columns (same as v1)
+FX2, FY2, FAX1, FAY1, FA2X, FA2Y = range(6)
+ISTATUS, IITERS, IDONE, IOOB1 = range(4)
+
+
+def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int):
+    w, h = cfg.window_width, cfg.window_height
+    hw, hh = np.float32(w // 2), np.float32(h // 2)
+    hwi, hhi = w // 2, h // 2
+    ncf, nrf = np.float32(nc), np.float32(nr)
+    th = np.float32(cfg.min_displacement)
+    area = np.float32(w * h)
+    step = np.float32(cfg.step_factor)
+    min_det = np.float32(cfg.min_determinant)
+    max_iter = cfg.max_iterations
+    lighting = cfg.lighting_insensitive
+    n_off = k - (w + 1) + 1  # valid in-patch offsets per axis
+    rs = 3 * k               # row stride in lanes
+    cs = k                   # channel stride in lanes
+    L = k * rs               # total patch lanes
+
+    def rollL(x, s):
+        """Static left-rotation by s lanes."""
+        if s == 0:
+            return x
+        return pltpu.roll(x, L - s, 1)
+
+    def window_oob(x, y):
+        return ((x - hw < 0.0) | (ncf - (x + hw) < _EPS) |
+                (y - hh < 0.0) | (nrf - (y + hh) < _EPS))
+
+    def lane_masks():
+        """Lane-geometry masks built in-kernel from an iota (Pallas
+        forbids captured array constants): (m_win, m_c0, sign)."""
+        jl = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        lane_r = jl // rs
+        lane_rem = jl % rs
+        lane_c = lane_rem // cs
+        lane_i = lane_rem % cs
+        m_win = ((lane_r < h) & (lane_i < w)).astype(jnp.float32)
+        m_c0 = m_win * (lane_c == 0).astype(jnp.float32)
+        sign = jnp.where(lane_c == 0, jnp.float32(-1.0),
+                         jnp.float32(1.0))
+        return m_win, m_c0, sign
+
+    def blend(x, ax, ay):
+        """Bilinear 4-term blend, all channels at once.  ax, ay [F, 1]."""
+        t01 = rollL(x, 1)
+        t10 = rollL(x, rs)
+        t11 = rollL(x, rs + 1)
+        return ((1 - ax) * (1 - ay) * x + ax * (1 - ay) * t01 +
+                (1 - ax) * ay * t10 + ax * ay * t11)
+
+    def shift_to(x, oy, ox):
+        """Masked binary static rolls by oy*rs + ox lanes."""
+        b = 1
+        while b < n_off:
+            bit = ((ox & b) != 0).astype(jnp.float32)
+            x = bit * rollL(x, b) + (1.0 - bit) * x
+            b *= 2
+        b = 1
+        while b < n_off:
+            bit = ((oy & b) != 0).astype(jnp.float32)
+            x = bit * rollL(x, b * rs) + (1.0 - bit) * x
+            b *= 2
+        return x
+
+    def reduce_win(x):
+        """Segmented window sum: lane (r=0, c*cs, i=0) of each channel
+        block ends up holding that channel's window total."""
+        s = 1
+        while s < w + 1:          # column tree (valid cols pre-masked)
+            x = x + rollL(x, s)
+            s *= 2
+        s = rs
+        while s < (h + 1) * rs:   # row tree
+            x = x + rollL(x, s)
+            s *= 2
+        return x
+
+    def kernel(p1_ref, p2_ref, fs_ref, is_ref, fso, iso, reso):
+        p2 = p2_ref[:]
+        fs = fs_ref[:]
+        a2x = fs[:, FA2X:FA2X + 1]
+        a2y = fs[:, FA2Y:FA2Y + 1]
+        a2xi = a2x.astype(jnp.int32)
+        a2yi = a2y.astype(jnp.int32)
+        oob1 = is_ref[:, IOOB1:IOOB1 + 1] != 0
+
+        m_win, m_c0, sign = lane_masks()
+
+        b1 = blend(p1_ref[:], fs[:, FAX1:FAX1 + 1], fs[:, FAY1:FAY1 + 1])
+        if lighting:
+            r1 = reduce_win(b1 * m_c0)
+            rq1 = reduce_win(b1 * b1 * m_c0)
+            sum_g1 = r1[:, 0:1]
+            sum_g1sq = rq1[:, 0:1]
+
+        def sample(x2c, y2c):
+            xt = x2c.astype(jnp.int32)
+            yt = y2c.astype(jnp.int32)
+            ax = x2c - xt.astype(jnp.float32)
+            ay = y2c - yt.astype(jnp.float32)
+            ox = xt - hwi - a2xi
+            oy = yt - hhi - a2yi
+            ovf = ((ox < 0) | (ox > n_off - 1) |
+                   (oy < 0) | (oy > n_off - 1))
+            oxc = jnp.clip(ox, 0, n_off - 1)
+            oyc = jnp.clip(oy, 0, n_off - 1)
+            win = shift_to(p2, oyc, oxc)
+            return blend(win, ax, ay), ovf
+
+        def newton(b2):
+            if lighting:
+                r2 = reduce_win(b2 * m_c0)
+                rq2 = reduce_win(b2 * b2 * m_c0)
+                sum_g2 = r2[:, 0:1]
+                sum_g2sq = rq2[:, 0:1]
+                alpha = jnp.sqrt((sum_g1sq / area) /
+                                 (sum_g2sq / area))
+                beta = sum_g1 / area - alpha * (sum_g2 / area)
+                # reference's gradient gain uses the PLAIN means
+                # (misnamed accumulators, src/V1/trackFeatures.c:180)
+                alpha_g = jnp.sqrt((sum_g1 / area) / (sum_g2 / area))
+                coeff = alpha_g + (-alpha - alpha_g) * m_c0
+                C = b1 + b2 * coeff - beta * m_c0
+            else:
+                C = b1 + b2 * sign  # [diff | gradx sum | grady sum]
+            B = rollL(C, cs)
+            B2 = rollL(C, 2 * cs)
+            R_ab = reduce_win(C * B * m_win)
+            R_aa = reduce_win(C * C * m_win)
+            R_ab2 = reduce_win(C * B2 * m_win)
+            ex = R_ab[:, 0:1] * step          # diff * gradx
+            gxy = R_ab[:, cs:cs + 1]          # gradx * grady
+            gxx = R_aa[:, cs:cs + 1]
+            gyy = R_aa[:, 2 * cs:2 * cs + 1]
+            ey = R_ab2[:, 0:1] * step         # diff * grady
+            det = gxx * gyy - gxy * gxy
+            small = det < min_det
+            det_safe = jnp.where(small, jnp.float32(1.0), det)
+            dx = (gyy * ex - gxy * ey) / det_safe
+            dy = (gxx * ey - gxy * ex) / det_safe
+            return dx, dy, small, C
+
+        def body(state):
+            x2c, y2c, status, iters, done_i, _ = state
+            done = done_i != 0
+            oob = oob1 | window_oob(x2c, y2c)
+            status = jnp.where(~done & oob, OOB, status)
+            done = done | oob
+
+            b2, ovf = sample(x2c, y2c)
+            stall = ~done & ovf
+            eff = ~done & ~ovf
+
+            dx, dy, small, _ = newton(b2)
+            status = jnp.where(eff & small, SMALL_DET, status)
+            done = done | (eff & small)
+
+            upd = eff & ~small
+            x2c = x2c + jnp.where(upd, dx, 0.0)
+            y2c = y2c + jnp.where(upd, dy, 0.0)
+            iters = iters + upd.astype(jnp.int32)
+            conv = (jnp.abs(dx) < th) & (jnp.abs(dy) < th)
+            done = done | (upd & (conv | (iters >= max_iter)))
+            return (x2c, y2c, status, iters, done.astype(jnp.int32),
+                    jnp.any(stall).astype(jnp.int32))
+
+        def going(state):
+            done_i, stalled = state[4], state[5]
+            return jnp.any(done_i == 0) & (stalled == 0)
+
+        x2f, y2f, status, iters, done_i, _ = jax.lax.while_loop(
+            going, body,
+            (fs[:, FX2:FX2 + 1], fs[:, FY2:FY2 + 1],
+             is_ref[:, ISTATUS:ISTATUS + 1], is_ref[:, IITERS:IITERS + 1],
+             is_ref[:, IDONE:IDONE + 1], jnp.int32(0)))
+
+        # residue at the final (clamped) position
+        b2, _ = sample(x2f, y2f)
+        if lighting:
+            _, _, _, C = newton(b2)
+            diff = C
+        else:
+            diff = b1 + b2 * sign
+        res = reduce_win(jnp.abs(diff) * m_c0)[:, 0:1] / area
+
+        fso[:] = jnp.concatenate([x2f, y2f], axis=1)
+        iso[:] = jnp.concatenate(
+            [status, iters, done_i, (done_i == 0).astype(jnp.int32)],
+            axis=1)
+        reso[:] = res
+
+    return kernel
+
+
+def supported(cfg: TrackingConfig, k: int) -> bool:
+    """True iff the flattened-lane geometry is wrap-safe: lanes the
+    blend reads after the largest window shift must not collide with
+    roll-wrapped garbage at the top of the patch."""
+    w, h = cfg.window_width, cfg.window_height
+    rs, cs = 3 * k, k
+    n_off = k - (w + 1) + 1
+    max_read = (h - 1) * rs + 2 * cs + (w - 1) + rs + 1
+    max_shift = (n_off - 1) * (rs + 1)
+    return max_read < k * rs - max_shift
+
+
+FEATURE_BLOCK = 512
+
+
+@functools.lru_cache(maxsize=64)
+def _inner_call(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
+                fb: int):
+    from . import interpret_mode
+    kernel = _make_kernel(cfg, k, nc, nr, fb)
+    n_blocks = f // fb
+    L = 3 * k * k
+    bspec = lambda lanes: pl.BlockSpec((fb, lanes), lambda i: (i, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[bspec(L), bspec(L), bspec(6), bspec(4)],
+        out_specs=[bspec(2), bspec(4), bspec(1)],
+        out_shape=[jax.ShapeDtypeStruct((f, 2), jnp.float32),
+                   jax.ShapeDtypeStruct((f, 4), jnp.int32),
+                   jax.ShapeDtypeStruct((f, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret_mode(),
+    )
+
+
+def lk_level_inner_flat(p1, p2, fstate, istate, cfg: TrackingConfig,
+                        k: int, nc: int, nr: int):
+    """v2 entry: p1, p2 are [F, 3*k*k] flattened-lane patches sharing
+    the SAME canvas geometry (p1 holds the (h+1) x (w+1) raw first-
+    image window in rows 0..h / cols 0..w of each channel block).
+
+    Returns ([F, 2] f32, [F, 4] i32, [F, 1] f32) like v1."""
+    f = p2.shape[0]
+    fb = f if f <= FEATURE_BLOCK else FEATURE_BLOCK
+    pad = (-f) % fb
+    if pad:
+        zf = lambda a: jnp.pad(a, ((0, pad), (0, 0)))
+        p1, p2, fstate = zf(p1), zf(p2), zf(fstate)
+        ipad = jnp.zeros((pad, 4), jnp.int32).at[:, IDONE].set(1)
+        istate = jnp.concatenate([istate, ipad])
+    call = _inner_call(cfg, k, nc, nr, f + pad, fb)
+    fout, iout, res = call(p1, p2, fstate, istate)
+    if pad:
+        fout, iout, res = fout[:f], iout[:f], res[:f]
+    return fout, iout, res

@@ -30,6 +30,7 @@ def _track_level_kernel_batched(stack1, stack2, x1, y1, x2, y2, active,
     stack1/stack2: [B, 3, H, W]; coordinate/mask arrays [B, F].
     One Pallas kernel invocation tracks all B*F features.
     """
+    import os
     from ..pallas.lk import lk_level_inner
 
     b, _, nr, nc = stack1.shape
@@ -46,7 +47,6 @@ def _track_level_kernel_batched(stack1, stack2, x1, y1, x2, y2, active,
     col = lambda v: v.reshape(n, 1)
     sp1 = jax.vmap(pack_stack_channels)(stack1)  # [B, H, 3W]
     sp2 = jax.vmap(pack_stack_channels)(stack2)
-    extract = jax.vmap(extract_packed_cb, in_axes=(0, 0, 0, None, None))
 
     x1f, y1f = flat(x1), flat(y1)
     xt1 = x1.astype(jnp.int32)
@@ -55,8 +55,25 @@ def _track_level_kernel_batched(stack1, stack2, x1, y1, x2, y2, active,
     ay1c = col(y1 - yt1.astype(jnp.float32))
     x10 = jnp.clip(xt1 - hwi, 0, nc - (w + 1))
     y10 = jnp.clip(yt1 - hhi, 0, nr - (h + 1))
-    p1w = extract(sp1, y10, x10, h + 1, w + 1).reshape(
-        n, h + 1, 3 * (w + 1))
+
+    from ..pallas import lk2
+    use_v2 = (os.environ.get("KLT_TPU_LK_V1", "0") != "1"
+              and lk2.supported(cfg, k))
+    if use_v2:
+        from ..ops.interp import extract_flat
+        inner = lk2.lk_level_inner_flat
+        exf = jax.vmap(extract_flat, in_axes=(0, 0, 0, None, None, None))
+        p1w = exf(sp1, y10, x10, h + 1, w + 1, k).reshape(n, 3 * k * k)
+        extract2 = lambda py0, px0: exf(sp2, py0, px0, k, k,
+                                        k).reshape(n, 3 * k * k)
+    else:
+        inner = lk_level_inner
+        extract = jax.vmap(extract_packed_cb,
+                           in_axes=(0, 0, 0, None, None))
+        p1w = extract(sp1, y10, x10, h + 1, w + 1).reshape(
+            n, h + 1, 3 * (w + 1))
+        extract2 = lambda py0, px0: extract(sp2, py0, px0, k,
+                                            k).reshape(n, k, 3 * k)
     oob1_i = col(_window_oob(x1f, y1f, hw, hh, ncf, nrf).astype(jnp.int32))
 
     def anchors(x2c, y2c):
@@ -71,15 +88,15 @@ def _track_level_kernel_batched(stack1, stack2, x1, y1, x2, y2, active,
 
     def round_once(x2c, y2c, status, iters, done):
         py0, px0 = anchors(x2c.reshape(b, f), y2c.reshape(b, f))
-        p2 = extract(sp2, py0, px0, k, k).reshape(n, k, 3 * k)
+        p2 = extract2(py0, px0)
         fstate = jnp.concatenate(
             [col(x2c), col(y2c), ax1c, ay1c,
              col(px0.astype(jnp.float32)), col(py0.astype(jnp.float32))],
             axis=1)
         istate = jnp.concatenate(
             [col(status), col(iters), col(done), oob1_i], axis=1)
-        fout, iout, resn = lk_level_inner(p1w, p2, fstate, istate,
-                                          cfg, k, nc, nr)
+        fout, iout, resn = inner(p1w, p2, fstate, istate,
+                                 cfg, k, nc, nr)
         return (fout[:, 0], fout[:, 1], iout[:, 0], iout[:, 1],
                 iout[:, 2], resn)
 
