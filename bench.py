@@ -98,6 +98,45 @@ def bench_flagship(jax, jnp, klt, cfg, result):
     result["vs_baseline"] = round(fps / CPU_BASELINE_FPS, 2)
 
 
+def bench_flagship_batched(jax, jnp, klt, out):
+    """Per-chip THROUGHPUT on the flagship config: B independent
+    copies of the images_provided sequence tracked concurrently by the
+    batched kernel path (one LK kernel invocation per level per step
+    for all B*150 features).  The single-stream number above is the
+    latency metric; this is what one chip sustains when fed enough
+    independent work — the BASELINE's "tracked features/s per chip"."""
+    from klt_tpu.parallel.batched_lk import track_sequences_batched
+
+    cfg = klt.TrackingConfig(sequential_mode=True)
+    frames = _load(klt, "images_provided", 0, 10)
+    fl = _seed(klt, frames[0], 150, cfg)
+    n_pairs = frames.shape[0] - 1
+    for b in (16,):
+        fb = jnp.asarray(np.broadcast_to(
+            frames, (b,) + frames.shape).copy())
+        x = jnp.asarray(np.broadcast_to(fl.x, (b, 150)).copy())
+        y = jnp.asarray(np.broadcast_to(fl.y, (b, 150)).copy())
+        v = jnp.asarray(np.broadcast_to(fl.val, (b, 150)).copy())
+        r = track_sequences_batched(fb, x, y, v, cfg)
+        jax.block_until_ready(r)
+        reps = 20
+        t0 = time.perf_counter()
+        for i in range(reps):
+            r = track_sequences_batched(fb, x + 1e-4 * i, y, v, cfg)
+        jax.block_until_ready(r)
+        dt = (time.perf_counter() - t0) / reps
+        agg = b * n_pairs / dt
+        # accuracy: batch lane 0 must match the single-stream goldens
+        vs_last = np.asarray(r[2][-1][0])
+        out["flagship_batched_throughput"] = {
+            "batch": b,
+            "aggregate_frames_per_s": round(agg, 1),
+            "vs_baseline_fps": round(agg / CPU_BASELINE_FPS, 1),
+            "tracked_features_per_s": round(agg * 150, 0),
+            "final_live_features_seq0": int((vs_last >= 0).sum()),
+        }
+
+
 def bench_traffic_replace(jax, jnp, klt, out):
     """Config 2: 500 features, full 551-frame sequence, per-frame
     device-resident replacement inside the scan, writeFeatures output."""
@@ -338,8 +377,9 @@ def main():
     budget = float(os.environ.get("KLT_BENCH_BUDGET_S", "1500"))
     # laptops-affine runs LAST: a TPU-side fault poisons the
     # process's device, which must not take the other configs down
-    for fn in (bench_traffic_replace, bench_batched_3x4096,
-               bench_slam_e2e, bench_laptops_affine):
+    for fn in (bench_flagship_batched, bench_traffic_replace,
+               bench_batched_3x4096, bench_slam_e2e,
+               bench_laptops_affine):
         if time.perf_counter() - t_start > budget:
             extras[fn.__name__] = {"skipped": "bench time budget"}
             continue

@@ -38,10 +38,65 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import TrackingConfig, TRACKED, SMALL_DET, OOB, LARGE_RESIDUE
-from .interp import bilinear_sample, window_offsets
+from .interp import (bilinear_sample, window_offsets,
+                     pack_stack_channels, extract_packed_cb)
 
 _EPS = np.float32(1.001)
 _PATCH_BORDER = 2  # interpolation margin around the affine window (:1439)
+_RESIDENT = 48     # per-feature resident image patch side (gather-free
+#                    warped sampling; margin ~16 px beyond the affine
+#                    window covers any surviving feature's warp + drift)
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _bilinear_weights(u, v, ph, pw):
+    """One-hot bilinear weight vectors for patch-frame coordinates:
+    (wy [N, K, Ph], wx [N, K, Pw])."""
+    u = jnp.clip(u, 0.0, np.float32(pw - 2))
+    v = jnp.clip(v, 0.0, np.float32(ph - 2))
+    ui = u.astype(jnp.int32)
+    vi = v.astype(jnp.int32)
+    fu = (u - ui.astype(jnp.float32))[..., None]
+    fv = (v - vi.astype(jnp.float32))[..., None]
+    iy = jnp.arange(ph, dtype=jnp.int32)
+    ix = jnp.arange(pw, dtype=jnp.int32)
+    wy = ((vi[..., None] == iy) * (1.0 - fv) +
+          ((vi[..., None] + 1) == iy) * fv)
+    wx = ((ui[..., None] == ix) * (1.0 - fu) +
+          ((ui[..., None] + 1) == ix) * fu)
+    return wy, wx
+
+
+def _sample_in_patch(patch, u, v):
+    """Bilinear samples at arbitrary (possibly warped) patch-frame
+    coordinates, gather-free.
+
+    patch [N, Ph, Pw]; u, v [N, K].  TPU gathers serialize on the
+    scalar core (the transliteration of the reference's _interpolate,
+    src/V1/trackFeatures.c:31-57, runs ~100x slower than this); here
+    the bilinear weights become per-row/per-column one-hot vectors and
+    the sample is two HIGHEST-precision einsums on the MXU."""
+    n, ph, pw = patch.shape
+    wy, wx = _bilinear_weights(u, v, ph, pw)
+    tmp = jnp.einsum("nki,nij->nkj", wy, patch, precision=_HI,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("nkj,nkj->nk", tmp, wx, precision=_HI,
+                      preferred_element_type=jnp.float32)
+
+
+def _sample_in_patch3(packed, u, v, pres):
+    """Same, but for a channel-block packed patch [N, P, 3P]: ONE
+    shared weight build + one row einsum for all three channels.
+    Returns (img, gx, gy) samples, each [N, K]."""
+    wy, wx = _bilinear_weights(u, v, pres, pres)
+    tmp = jnp.einsum("nki,nij->nkj", wy, packed, precision=_HI,
+                     preferred_element_type=jnp.float32)  # [N, K, 3P]
+    outs = []
+    for c in range(3):
+        outs.append(jnp.einsum(
+            "nkj,nkj->nk", tmp[:, :, c * pres:(c + 1) * pres], wx,
+            precision=_HI, preferred_element_type=jnp.float32))
+    return outs
 
 
 @dataclasses.dataclass
@@ -128,12 +183,44 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
 
     dxo, dyo = window_offsets(aw, ah)
     dxo, dyo = jnp.asarray(dxo), jnp.asarray(dyo)  # [K]
-    sample_patch = jax.vmap(bilinear_sample)       # ([N,ph,pw],[N,K],[N,K])
+
+    # Per-feature RESIDENT image patches, extracted once per call:
+    # every in-loop sample (axis-aligned or affine-warped) then reads
+    # its own [P, P] patch through _sample_in_patch — no image gathers.
+    pres = _RESIDENT
+    if min(nr2, nc2) >= pres:
+        sp2 = pack_stack_channels(jnp.stack([img2, gradx2, grady2]))
+        pa_x0 = jnp.clip(x2_in.astype(jnp.int32) - pres // 2, 0,
+                         nc2 - pres)
+        pa_y0 = jnp.clip(y2_in.astype(jnp.int32) - pres // 2, 0,
+                         nr2 - pres)
+        resid = extract_packed_cb(sp2, pa_y0, pa_x0, pres, pres)
+        rimg = resid[:, :, :pres]
+        pax0f = pa_x0.astype(jnp.float32)[:, None]
+        pay0f = pa_y0.astype(jnp.float32)[:, None]
+
+        def sample2_img(xs, ys):
+            return _sample_in_patch(rimg, xs - pax0f, ys - pay0f)
+
+        def sample2_all(xs, ys):
+            return _sample_in_patch3(resid, xs - pax0f, ys - pay0f,
+                                     pres)
+    else:
+        # image smaller than the resident patch: keep gather sampling
+        def sample2_img(xs, ys):
+            return bilinear_sample(img2, xs, ys)
+
+        def sample2_all(xs, ys):
+            return (bilinear_sample(img2, xs, ys),
+                    bilinear_sample(gradx2, xs, ys),
+                    bilinear_sample(grady2, xs, ys))
 
     # Patch-side windows are iteration-invariant.
     xs1 = x1[:, None] + dxo[None, :]
     ys1 = y1[:, None] + dyo[None, :]
-    g1 = sample_patch(pimg, xs1, ys1)
+    g1 = _sample_in_patch(pimg, xs1, ys1)
+    gx1w = _sample_in_patch(pgx, xs1, ys1)
+    gy1w = _sample_in_patch(pgy, xs1, ys1)
 
     src_oob = (_coord_oob(x1 - hw, pcf) | (pcf - (x1 + hw) < _EPS) |
                _coord_oob(y1 - hh, prf) | (prf - (y1 + hh) < _EPS))
@@ -164,11 +251,9 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
         if mode == 0:
             xs2 = x2[:, None] + dxo[None, :]
             ys2 = y2[:, None] + dyo[None, :]
-            g2 = bilinear_sample(img2, xs2, ys2)
-            gx = sample_patch(pgx, xs1, ys1) + bilinear_sample(gradx2, xs2,
-                                                               ys2)
-            gy = sample_patch(pgy, xs1, ys1) + bilinear_sample(grady2, xs2,
-                                                               ys2)
+            g2, gx2s, gy2s = sample2_all(xs2, ys2)
+            gx = gx1w + gx2s
+            gy = gy1w + gy2s
             diff = g1 - g2
             gxx = jnp.sum(gx * gx, axis=1)
             gxy = jnp.sum(gx * gy, axis=1)
@@ -184,9 +269,7 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
             conv = (jnp.abs(dx) < th) & (jnp.abs(dy) < th)
         else:
             wx, wy = warp_coords(axx, ayx, axy, ayy, x2, y2)
-            g2 = bilinear_sample(img2, wx, wy)
-            gx = bilinear_sample(gradx2, wx, wy)  # [N,K]
-            gy = bilinear_sample(grady2, wx, wy)
+            g2, gx, gy = sample2_all(wx, wy)  # [N,K] each
             diff = g1 - g2
 
             xi, yj = dxo[None, :], dyo[None, :]
@@ -256,10 +339,10 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
     if mode == 0:
         xs2 = x2[:, None] + dxo[None, :]
         ys2 = y2[:, None] + dyo[None, :]
-        g2 = bilinear_sample(img2, xs2, ys2)
+        g2 = sample2_img(xs2, ys2)
     else:
         wx, wy = warp_coords(axx, ayx, axy, ayy, x2, y2)
-        g2 = bilinear_sample(img2, wx, wy)
+        g2 = sample2_img(wx, wy)
     residue = jnp.sum(jnp.abs(g1 - g2), axis=1) / area
     status = jnp.where((status == TRACKED) &
                        (residue > np.float32(cfg.affine_max_residue)),
@@ -308,9 +391,20 @@ def _affine_step_jit(valid, pimg, pgx, pgy, ax_c, ay_c, axx, ayx, axy, ayy,
 
     # Save reference patches for first-time-tracked features at their
     # pre-track position in image 1 (src/V1/trackFeatures.c:1445-1454).
-    new_img = _extract_patches(img1, x_old, y_old, ph, pw)
-    new_gx = _extract_patches(gradx1, x_old, y_old, ph, pw)
-    new_gy = _extract_patches(grady1, x_old, y_old, ph, pw)
+    nr1, nc1 = img1.shape
+    if min(nr1, nc1) >= max(ph, pw):
+        # gather-free path: one packed-stack extraction for all 3 maps
+        sp1 = pack_stack_channels(jnp.stack([img1, gradx1, grady1]))
+        px0 = jnp.clip(x_old.astype(jnp.int32) - pw // 2, 0, nc1 - pw)
+        py0 = jnp.clip(y_old.astype(jnp.int32) - ph // 2, 0, nr1 - ph)
+        newp = extract_packed_cb(sp1, py0, px0, ph, pw)
+        new_img = newp[:, :, :pw]
+        new_gx = newp[:, :, pw:2 * pw]
+        new_gy = newp[:, :, 2 * pw:]
+    else:
+        new_img = _extract_patches(img1, x_old, y_old, ph, pw)
+        new_gx = _extract_patches(gradx1, x_old, y_old, ph, pw)
+        new_gy = _extract_patches(grady1, x_old, y_old, ph, pw)
     m3 = init_mask[:, None, None]
     pimg = jnp.where(m3, new_img, pimg)
     pgx = jnp.where(m3, new_gx, pgx)

@@ -248,7 +248,24 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
     from ..pallas import lk2
     use_v2 = (os.environ.get("KLT_TPU_LK_V1", "0") != "1"
               and lk2.supported(cfg, k))
-    if use_v2:
+    use_ds = os.environ.get("KLT_TPU_EXTRACT", "onehot") == "ds"
+    if use_v2 and use_ds:
+        # block-gather variant: one vmapped dynamic_slice per image
+        # (XLA lowers to a single contiguous-block gather), then a
+        # small layout fold onto the flattened canvas
+        inner = lk2.lk_level_inner_flat
+
+        def _ds_flat(stack, y0, x0, ny, nx):
+            out = jax.vmap(lambda ys, xs: jax.lax.dynamic_slice(
+                stack, (0, ys, xs), (3, ny, nx)))(y0, x0)
+            if ny < k or nx < k:
+                out = jnp.pad(out, ((0, 0), (0, 0), (0, k - ny),
+                                    (0, k - nx)))
+            return out.transpose(0, 2, 1, 3).reshape(n, 3 * k * k)
+
+        p1w = _ds_flat(stack1, y10, x10, h + 1, w + 1)
+        extract2 = lambda py0, px0: _ds_flat(stack2, py0, px0, k, k)
+    elif use_v2:
         inner = lk2.lk_level_inner_flat
         p1w = extract_flat(sp1, y10, x10, h + 1, w + 1, k)
         extract2 = lambda py0, px0: extract_flat(sp2, py0, px0, k, k, k)
