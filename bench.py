@@ -98,6 +98,24 @@ def bench_flagship(jax, jnp, klt, cfg, result):
     result["vs_baseline"] = round(fps / CPU_BASELINE_FPS, 2)
 
 
+def bench_roofline(jax, jnp, klt, out):
+    """Hot-kernel utilization evidence (tools/roofline.py): pyramid
+    achieved-GB/s vs HBM peak, LK kernel useful-GFLOP/s vs VPU peak,
+    per-component shares of traced device time."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    import roofline
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        roofline.main()
+    out["roofline"] = _json.loads(buf.getvalue().strip().splitlines()[-1])
+
+
 def bench_flagship_batched(jax, jnp, klt, out):
     """Per-chip THROUGHPUT on the flagship config: B independent
     copies of the images_provided sequence tracked concurrently by the
@@ -379,7 +397,7 @@ def main():
     # process's device, which must not take the other configs down
     for fn in (bench_flagship_batched, bench_traffic_replace,
                bench_batched_3x4096, bench_slam_e2e,
-               bench_laptops_affine):
+               bench_laptops_affine, bench_roofline):
         if time.perf_counter() - t_start > budget:
             extras[fn.__name__] = {"skipped": "bench time budget"}
             continue

@@ -47,6 +47,8 @@ Semantics preserved exactly:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -248,12 +250,17 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
     from ..pallas import lk2
     use_v2 = (os.environ.get("KLT_TPU_LK_V1", "0") != "1"
               and lk2.supported(cfg, k))
-    use_ds = os.environ.get("KLT_TPU_EXTRACT", "onehot") == "ds"
-    if use_v2 and use_ds:
-        # block-gather variant: one vmapped dynamic_slice per image
-        # (XLA lowers to a single contiguous-block gather), then a
-        # small layout fold onto the flattened canvas
-        inner = lk2.lk_level_inner_flat
+    exmode = os.environ.get("KLT_TPU_EXTRACT", "onehot")
+    if use_v2 and exmode in ("ds", "ds2"):
+        # block-gather variants: one vmapped dynamic_slice per image
+        # (XLA lowers to a single contiguous-block gather).  "ds2"
+        # keeps the gather's NATIVE [F, 3, K, K] order — the kernel is
+        # built in channel-major lane layout so the flatten is a free
+        # contiguous reshape (no transpose/relayout); "ds" folds onto
+        # the row-major canvas via a transpose (measured slower).
+        layout = "cr" if exmode == "ds2" else "rc"
+        inner = functools.partial(lk2.lk_level_inner_flat,
+                                  layout=layout)
 
         def _ds_flat(stack, y0, x0, ny, nx):
             out = jax.vmap(lambda ys, xs: jax.lax.dynamic_slice(
@@ -261,7 +268,9 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
             if ny < k or nx < k:
                 out = jnp.pad(out, ((0, 0), (0, 0), (0, k - ny),
                                     (0, k - nx)))
-            return out.transpose(0, 2, 1, 3).reshape(n, 3 * k * k)
+            if exmode == "ds":
+                out = out.transpose(0, 2, 1, 3)
+            return out.reshape(n, 3 * k * k)
 
         p1w = _ds_flat(stack1, y10, x10, h + 1, w + 1)
         extract2 = lambda py0, px0: _ds_flat(stack2, py0, px0, k, k)

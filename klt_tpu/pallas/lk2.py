@@ -46,7 +46,8 @@ FX2, FY2, FAX1, FAY1, FA2X, FA2Y = range(6)
 ISTATUS, IITERS, IDONE, IOOB1 = range(4)
 
 
-def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int):
+def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
+                 layout: str = "rc"):
     w, h = cfg.window_width, cfg.window_height
     hw, hh = np.float32(w // 2), np.float32(h // 2)
     hwi, hhi = w // 2, h // 2
@@ -58,9 +59,13 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int):
     max_iter = cfg.max_iterations
     lighting = cfg.lighting_insensitive
     n_off = k - (w + 1) + 1  # valid in-patch offsets per axis
-    rs = 3 * k               # row stride in lanes
-    cs = k                   # channel stride in lanes
-    L = k * rs               # total patch lanes
+    if layout == "rc":       # lane J = r*3K + c*K + i (canvas order)
+        rs, cs = 3 * k, k
+    else:                    # "cr": J = c*K^2 + r*K + i — the NATIVE
+        #                      flattening of a [3, K, K] block gather,
+        #                      so the XLA-side reshape is free
+        rs, cs = k, k * k
+    L = 3 * k * k            # total patch lanes
 
     def rollL(x, s):
         """Static left-rotation by s lanes."""
@@ -76,10 +81,16 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int):
         """Lane-geometry masks built in-kernel from an iota (Pallas
         forbids captured array constants): (m_win, m_c0, sign)."""
         jl = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-        lane_r = jl // rs
-        lane_rem = jl % rs
-        lane_c = lane_rem // cs
-        lane_i = lane_rem % cs
+        if layout == "rc":
+            lane_r = jl // rs
+            rem = jl % rs
+            lane_c = rem // cs
+            lane_i = rem % cs
+        else:
+            lane_c = jl // cs
+            rem = jl % cs
+            lane_r = rem // rs
+            lane_i = rem % rs
         m_win = ((lane_r < h) & (lane_i < w)).astype(jnp.float32)
         m_c0 = m_win * (lane_c == 0).astype(jnp.float32)
         sign = jnp.where(lane_c == 0, jnp.float32(-1.0),
@@ -238,16 +249,16 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int):
     return kernel
 
 
-def supported(cfg: TrackingConfig, k: int) -> bool:
+def supported(cfg: TrackingConfig, k: int, layout: str = "rc") -> bool:
     """True iff the flattened-lane geometry is wrap-safe: lanes the
     blend reads after the largest window shift must not collide with
     roll-wrapped garbage at the top of the patch."""
     w, h = cfg.window_width, cfg.window_height
-    rs, cs = 3 * k, k
+    rs, cs = (3 * k, k) if layout == "rc" else (k, k * k)
     n_off = k - (w + 1) + 1
     max_read = (h - 1) * rs + 2 * cs + (w - 1) + rs + 1
     max_shift = (n_off - 1) * (rs + 1)
-    return max_read < k * rs - max_shift
+    return max_read < 3 * k * k - max_shift
 
 
 FEATURE_BLOCK = 512
@@ -255,9 +266,9 @@ FEATURE_BLOCK = 512
 
 @functools.lru_cache(maxsize=64)
 def _inner_call(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
-                fb: int):
+                fb: int, layout: str):
     from . import interpret_mode
-    kernel = _make_kernel(cfg, k, nc, nr, fb)
+    kernel = _make_kernel(cfg, k, nc, nr, fb, layout)
     n_blocks = f // fb
     L = 3 * k * k
     bspec = lambda lanes: pl.BlockSpec((fb, lanes), lambda i: (i, 0))
@@ -276,7 +287,7 @@ def _inner_call(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
 
 
 def lk_level_inner_flat(p1, p2, fstate, istate, cfg: TrackingConfig,
-                        k: int, nc: int, nr: int):
+                        k: int, nc: int, nr: int, layout: str = "rc"):
     """v2 entry: p1, p2 are [F, 3*k*k] flattened-lane patches sharing
     the SAME canvas geometry (p1 holds the (h+1) x (w+1) raw first-
     image window in rows 0..h / cols 0..w of each channel block).
@@ -290,7 +301,7 @@ def lk_level_inner_flat(p1, p2, fstate, istate, cfg: TrackingConfig,
         p1, p2, fstate = zf(p1), zf(p2), zf(fstate)
         ipad = jnp.zeros((pad, 4), jnp.int32).at[:, IDONE].set(1)
         istate = jnp.concatenate([istate, ipad])
-    call = _inner_call(cfg, k, nc, nr, f + pad, fb)
+    call = _inner_call(cfg, k, nc, nr, f + pad, fb, layout)
     fout, iout, res = call(p1, p2, fstate, istate)
     if pad:
         fout, iout, res = fout[:f], iout[:f], res[:f]

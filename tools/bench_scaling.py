@@ -24,9 +24,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
 
-def run_scaling(per_dev_batches=(1, 2, 4), reps=25, emit=print):
+def run_scaling(per_dev_batches=(1, 2, 4), reps=None, emit=print):
     # reps amortize the ~30-60 ms dispatch latency of the tunneled TPU;
-    # each rep is one whole-sequence scanned dispatch
+    # each rep is one whole-sequence scanned dispatch.  On the CPU mesh
+    # the run is a functional (not perf) check, so keep it short.
     import jax
     import jax.numpy as jnp
     import klt_tpu as klt
@@ -44,6 +45,8 @@ def run_scaling(per_dev_batches=(1, 2, 4), reps=25, emit=print):
     tracker.select_good_features(frames[0], fl)
 
     n_dev = len(jax.devices())
+    if reps is None:
+        reps = 25 if jax.devices()[0].platform != "cpu" else 2
     mesh = make_mesh({"data": n_dev}) if n_dev > 1 else None
     n_pairs = frames.shape[0] - 1
 

@@ -52,25 +52,34 @@ def main():
     r = track_sequence(fd, x0, y0, v0, cfg)
     jax.block_until_ready(r)
     n_pairs = frames.shape[0] - 1
+    reps = 30
     t0 = time.perf_counter()
-    r = track_sequence(fd, x0, y0, v0, cfg)
+    for _ in range(reps):
+        r = track_sequence(fd, x0, y0, v0, cfg)
     jax.block_until_ready(r)
-    wall_per_pair = (time.perf_counter() - t0) / n_pairs
+    wall_per_pair = (time.perf_counter() - t0) / (reps * n_pairs)
 
     with trace("/tmp/roofline_trace"):
-        r = track_sequence(fd, x0, y0, v0, cfg)
+        for _ in range(4):
+            r = track_sequence(fd, x0, y0, v0, cfg)
         jax.block_until_ready(r)
 
-    rows = op_breakdown("/tmp/roofline_trace", runs=1, top=200)
+    # The tunneled profiler can drop events, so the headline numbers
+    # below use PER-LAUNCH averages (robust to undercounted totals);
+    # the shares carry a completeness estimate alongside.
+    rows = op_breakdown("/tmp/roofline_trace", runs=4, top=300)
     agg = {"pyramid_kernel": 0.0, "lk_kernel": 0.0, "extraction": 0.0,
            "other": 0.0}
+    per_launch = {"pyramid_kernel": [], "lk_kernel": []}
     total = 0.0
     for us, n, cat, src in rows:
         total += us
         if "pallas/pyramid" in src:
             agg["pyramid_kernel"] += us
+            per_launch["pyramid_kernel"].append(us / max(n, 1e-9))
         elif "custom-call" in cat:
             agg["lk_kernel"] += us
+            per_launch["lk_kernel"].append(us / max(n, 1e-9))
         elif "ops/interp" in src:
             agg["extraction"] += us
         else:
@@ -87,36 +96,39 @@ def main():
         hh //= ss
         ww //= ss
     pyr_bytes = h * w + bytes_out
-    pyr_us_per_frame = agg["pyramid_kernel"] / n_pairs  # 1 build/pair
-    pyr_gbs = (pyr_bytes / 1e9) / max(pyr_us_per_frame, 1e-9) * 1e6
+    pyr_us = (sum(per_launch["pyramid_kernel"]) /
+              max(len(per_launch["pyramid_kernel"]), 1))
+    pyr_gbs = (pyr_bytes / 1e9) / max(pyr_us, 1e-9) * 1e6
 
-    # LK kernel useful FLOPs per pair: per Newton iteration each live
-    # feature does ~40 vector ops on its (window+1)^2 x 3-channel
-    # working set; use the table's iteration counts for an upper bound
-    # of usefulness (conservative: counts only window-sized math)
+    # LK kernel useful FLOPs per launch: per Newton iteration each
+    # live feature does ~40 vector ops on its (window+1)^2 x 3-channel
+    # working set (conservative: counts only window-sized math)
     f = 150
     win = (cfg.window_height + 1) * 3 * (cfg.window_width + 1)
-    iters_per_pair = 2 * 7  # ~7 converged iterations x 2 levels
-    lk_flops = f * win * 40 * iters_per_pair
-    lk_us_per_pair = agg["lk_kernel"] / n_pairs
-    lk_gflops = (lk_flops / 1e9) / max(lk_us_per_pair, 1e-9) * 1e6
+    lk_us = (sum(per_launch["lk_kernel"]) /
+             max(len(per_launch["lk_kernel"]), 1))
+    lk_flops_launch = f * win * 40 * 7  # ~7 iterations per launch
+    lk_gflops = (lk_flops_launch / 1e9) / max(lk_us, 1e-9) * 1e6
 
     device_per_pair = total / n_pairs
     out = {
         "device": str(jax.devices()[0]),
         "wall_us_per_pair": round(wall_per_pair * 1e6, 1),
-        "device_us_per_pair": round(device_per_pair, 1),
-        "shares": {k: round(v / max(total, 1e-9), 3)
-                   for k, v in agg.items()},
+        "device_us_per_pair_traced": round(device_per_pair, 1),
+        "trace_completeness": round(
+            min(device_per_pair / max(wall_per_pair * 1e6, 1e-9), 1.0),
+            3),
+        "shares_of_traced": {k: round(v / max(total, 1e-9), 3)
+                             for k, v in agg.items()},
         "pyramid": {
-            "us_per_frame": round(pyr_us_per_frame, 1),
+            "us_per_launch": round(pyr_us, 1),
             "bytes_per_frame": pyr_bytes,
             "achieved_GB_s": round(pyr_gbs, 1),
             "pct_of_HBM_peak": round(100 * pyr_gbs / HBM_PEAK_GBS, 1),
         },
         "lk_kernel": {
-            "us_per_pair": round(lk_us_per_pair, 1),
-            "useful_GFLOP_s": round(lk_gflops, 1),
+            "us_per_launch": round(lk_us, 1),
+            "useful_GFLOP_s_at_7iter": round(lk_gflops, 1),
             "pct_of_VPU_peak": round(100 * lk_gflops / VPU_PEAK_GFLOPS,
                                      1),
         },
