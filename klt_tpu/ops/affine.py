@@ -84,6 +84,29 @@ def _sample_in_patch(patch, u, v):
                       preferred_element_type=jnp.float32)
 
 
+def _solve_sym_small(T, e):
+    """Batched small symmetric-PSD solve by unrolled Gauss-Jordan.
+
+    Mirrors the reference's Numerical-Recipes elimination
+    (_am_gauss_jordan_elimination, src/V1/trackFeatures.c:546-602)
+    without the full-pivot search — the Gauss-Newton normal matrices
+    here are symmetric PSD, where diagonal pivots suffice — and
+    without the batched-LAPACK custom calls jnp.linalg.det/solve lower
+    to on TPU.  Returns (a [N, n], small [N]) with small=True where a
+    pivot vanished (the reference's KLT_SMALL_DET condition)."""
+    n = T.shape[-1]
+    A = jnp.concatenate([T, e[..., None]], axis=-1)  # [N, n, n+1]
+    small = jnp.zeros(T.shape[:1], bool)
+    for col in range(n):
+        piv = A[:, col, col]
+        small = small | (piv == 0.0)
+        piv_safe = jnp.where(piv == 0.0, jnp.float32(1.0), piv)
+        arow = A[:, col, :] / piv_safe[:, None]
+        A = A - A[:, :, col:col + 1] * arow[:, None, :]
+        A = A.at[:, col, :].set(arow)
+    return A[:, :, n], small
+
+
 def _sample_in_patch3(packed, u, v, pres):
     """Same, but for a channel-block packed patch [N, P, 3P]: ONE
     shared weight build + one row einsum for all three channels.
@@ -285,11 +308,7 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
                                  preferred_element_type=jnp.float32,
                                  precision=jax.lax.Precision.HIGHEST)
 
-            det = jnp.linalg.det(T)
-            small = det == 0.0
-            T_safe = jnp.where(small[:, None, None],
-                               jnp.eye(T.shape[-1], dtype=T.dtype)[None], T)
-            a = jnp.linalg.solve(T_safe, e[..., None])[..., 0]
+            a, small = _solve_sym_small(T, e)
 
             old = _corners(axx, ayx, axy, ayy, x2, y2, hw, hh)
             if mode == 1:
