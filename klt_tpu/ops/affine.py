@@ -85,26 +85,13 @@ def _sample_in_patch(patch, u, v):
 
 
 def _solve_sym_small(T, e):
-    """Batched small symmetric-PSD solve by unrolled Gauss-Jordan.
-
-    Mirrors the reference's Numerical-Recipes elimination
-    (_am_gauss_jordan_elimination, src/V1/trackFeatures.c:546-602)
-    without the full-pivot search — the Gauss-Newton normal matrices
-    here are symmetric PSD, where diagonal pivots suffice — and
-    without the batched-LAPACK custom calls jnp.linalg.det/solve lower
-    to on TPU.  Returns (a [N, n], small [N]) with small=True where a
-    pivot vanished (the reference's KLT_SMALL_DET condition)."""
-    n = T.shape[-1]
-    A = jnp.concatenate([T, e[..., None]], axis=-1)  # [N, n, n+1]
-    small = jnp.zeros(T.shape[:1], bool)
-    for col in range(n):
-        piv = A[:, col, col]
-        small = small | (piv == 0.0)
-        piv_safe = jnp.where(piv == 0.0, jnp.float32(1.0), piv)
-        arow = A[:, col, :] / piv_safe[:, None]
-        A = A - A[:, :, col:col + 1] * arow[:, None, :]
-        A = A.at[:, col, :].set(arow)
-    return A[:, :, n], small
+    """Batched small symmetric-PSD solve (utils.linalg.gj_solve_spd):
+    the reference's Numerical-Recipes elimination contract
+    (src/V1/trackFeatures.c:546-602) without batched-LAPACK custom
+    calls.  Returns (a [N, n], small [N])."""
+    from ..utils.linalg import gj_solve_spd
+    X, small = gj_solve_spd(T, e[..., None])
+    return X[..., 0], small
 
 
 def _sample_in_patch3(packed, u, v, pres):

@@ -33,6 +33,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from .geometry import se3_exp, se3_apply, project
+from ..utils.linalg import gj_solve_spd, inv3
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -160,7 +161,7 @@ def _gn_step(R, t, landmarks, prob: BAProblem, mesh: Mesh | None,
     U = U + lam * du + 1e-6 * eye6
     V = V + lam * dv + 1e-6 * eye3
 
-    Vinv = jnp.linalg.inv(V)                       # [L, 3, 3]
+    Vinv = inv3(V)                                 # [L, 3, 3]
     WVinv = jnp.einsum("plij,ljk->plik", W, Vinv, precision=_HI)  # [P, L, 6, 3]
     S = -jnp.einsum("plik,qlmk->piqm", WVinv, W, precision=_HI)   # -W V^-1 W^T
     idx = jnp.arange(n_pose)
@@ -247,7 +248,9 @@ def _gn_step_cg(R, t, landmarks, prob: BAProblem, mesh: Mesh | None,
         rhs = bp - matvec_wvw(bl, from_lm=True)
         rhs = rhs * mask
 
-        Uinv = jnp.linalg.inv(U)  # block-Jacobi preconditioner
+        eye6 = jnp.broadcast_to(jnp.eye(6, dtype=U.dtype),
+                                U.shape)
+        Uinv, _ = gj_solve_spd(U, eye6)  # block-Jacobi preconditioner
 
         def precond(v):
             return jnp.einsum("pij,pj->pi", Uinv, v,
@@ -292,7 +295,7 @@ def _gn_step_cg(R, t, landmarks, prob: BAProblem, mesh: Mesh | None,
                                                   weight)
         U, V, bp, bl, cost = psum((U, V, bp, bl, cost))
         U, V = damp(U, V)
-        Vinv = jnp.linalg.inv(V)
+        Vinv = inv3(V)
 
         def matvec_wvw(v, from_lm):
             """from_lm=False: (W V^-1 W^T) v for v [P, 6];

@@ -23,6 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from .geometry import so3_exp, skew
+from ..utils.linalg import gj_solve_spd
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -211,7 +212,9 @@ def _gn_step_cg(R, t, pg: PoseGraph, mesh, damping, fix_first,
         diag = jnp.einsum("pii->pi", Hd)
         eye6 = jnp.eye(6, dtype=Hd.dtype)[None]
         Hd_damped = Hd + lam * diag[:, :, None] * eye6 + 1e-8 * eye6
-        Minv = jnp.linalg.inv(Hd_damped)
+        eye6 = jnp.broadcast_to(jnp.eye(6, dtype=Hd_damped.dtype),
+                                Hd_damped.shape)
+        Minv, _ = gj_solve_spd(Hd_damped, eye6)
 
         def h_matvec(v):
             v = v * mask
