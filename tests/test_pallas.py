@@ -88,3 +88,35 @@ def test_lk_kernel_matches_gather_oracle(provided_frames, interpret_pallas,
         both = (rs == 0) & (os_ == 0)
         np.testing.assert_allclose(rx[both], ox[both], atol=1e-3)
         np.testing.assert_allclose(ry[both], oy[both], atol=1e-3)
+
+
+def test_lk2_channel_major_layout_matches(provided_frames, monkeypatch):
+    """The v2 kernel's channel-major ('cr') lane layout — used by the
+    KLT_TPU_EXTRACT=ds2 block-gather variant — must match the default
+    canvas layout bit-for-bit."""
+    import jax.numpy as jnp
+    import klt_tpu.ops.lk as L
+    from klt_tpu.config import TrackingConfig
+    from klt_tpu.ops.pyramid import build_image_pyramids
+
+    monkeypatch.setenv("KLT_TPU_PALLAS_INTERPRET", "1")
+    cfg = TrackingConfig()
+    p1 = build_image_pyramids(jnp.asarray(provided_frames[0]), cfg)
+    p2 = build_image_pyramids(jnp.asarray(provided_frames[1]), cfg)
+    import klt_tpu as klt
+    fl = klt.FeatureList.create(48)
+    tr = klt.KLTracker(TrackingConfig())
+    tr.select_good_features(provided_frames[0], fl)
+    args = (list(p1[0]), list(p1[1]), list(p1[2]),
+            list(p2[0]), list(p2[1]), list(p2[2]),
+            jnp.asarray(fl.x), jnp.asarray(fl.y), jnp.asarray(fl.val),
+            cfg)
+    outs = {}
+    for mode in ("onehot", "ds2"):
+        monkeypatch.setenv("KLT_TPU_EXTRACT", mode)
+        x, y, v = L.track_features_pyramid(*args)
+        outs[mode] = (np.asarray(x), np.asarray(y), np.asarray(v))
+    a, b = outs["onehot"], outs["ds2"]
+    np.testing.assert_array_equal(a[2], b[2])
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
