@@ -33,6 +33,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CPU_BASELINE_FPS = 1.0 / 0.01185  # reference: 11.85 ms / frame-pair
+# Reference CPU measured at -O2 with tools/fixtures/bench_ref.c on the
+# configs the reference never benchmarked itself:
+CPU_TRAFFIC_REPLACE_FPS = 16.15   # traffic, 500 feat, replacement
+CPU_LAPTOPS_AFFINE_FPS = 5.87     # laptops, 2000 feat, affine=2
 DATA = "/root/reference/data"
 
 
@@ -207,8 +211,8 @@ def bench_traffic_replace(jax, jnp, klt, out):
     klt.write_feature_table(ft, "/tmp/traffic_features.ft")
     out["traffic_500feat_replace_551f"] = {
         "frames_per_s": round((n_frames - 1) / dt, 1),
-        "vs_baseline_fps": round((n_frames - 1) / dt / CPU_BASELINE_FPS,
-                                 1),
+        "vs_measured_cpu_baseline": round(
+            (n_frames - 1) / dt / CPU_TRAFFIC_REPLACE_FPS, 1),
         "final_live_features": int((np.asarray(vf) >= 0).sum()),
         "write_features_output": "/tmp/traffic_features.ft",
     }
@@ -239,7 +243,8 @@ def bench_laptops_affine(jax, jnp, klt, out):
     vs_final = np.asarray(r[2][-1])
     out["laptops_2000feat_affine_4level"] = {
         "frames_per_s": round(1.0 / best, 1),
-        "vs_baseline_fps": round(1.0 / best / CPU_BASELINE_FPS, 1),
+        "vs_measured_cpu_baseline": round(
+            1.0 / best / CPU_LAPTOPS_AFFINE_FPS, 2),
         "frames": int(frames.shape[0]),
         "final_live_features": int((vs_final >= 0).sum()),
     }
