@@ -301,6 +301,7 @@ def bench_slam_e2e(jax, jnp, klt, out):
     from klt_tpu.runtime.pipeline import track_sequence_replace
     from klt_tpu.slam import (tracks_from_table, select_keyframes,
                               BAProblem, bundle_adjust_cg)
+    from klt_tpu.slam.chains import ba_translation_prior
 
     cfg = klt.TrackingConfig(sequential_mode=True)
     n_frames, n_feat = 200, 1000
@@ -350,10 +351,12 @@ def bench_slam_e2e(jax, jnp, klt, out):
     lm0[:, 0] = (u[first] - cx) / fx
     lm0[:, 1] = (v[first] - cy) / fy
     lm0[:, 2] = 1.0
+    t0_prior = ba_translation_prior(lm_idx, cam_idx, u, v, first,
+                                    n_pose, fx, fy)
     prob = BAProblem(
         R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
                            (n_pose, 3, 3)).copy(),
-        t=jnp.zeros((n_pose, 3), jnp.float32),
+        t=jnp.asarray(t0_prior),
         landmarks=jnp.asarray(lm0),
         cam_idx=jnp.asarray(cam_idx), lm_idx=jnp.asarray(lm_idx),
         uv=jnp.asarray(np.stack([u, v], -1).astype(np.float32)),

@@ -32,6 +32,7 @@ import klt_tpu as klt  # noqa: E402
 from klt_tpu.io.dataset import find_dataset, ImageSequence  # noqa: E402
 from klt_tpu.slam import (tracks_from_table, select_keyframes,  # noqa: E402
                           BAProblem, bundle_adjust, bundle_adjust_cg)
+from klt_tpu.slam.chains import ba_translation_prior  # noqa: E402
 
 
 def frontend_device(seq, n_features, n_frames, cfg, chunk):

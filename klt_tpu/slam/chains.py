@@ -50,6 +50,35 @@ def tracks_from_table(x, y, val, min_length: int = 2):
     return tid.astype(np.int32), frame, us, vs
 
 
+def ba_translation_prior(lm_idx, cam_idx, u, v, first, n_pose,
+                         fx: float, fy: float):
+    """Median-flow translation prior for identity-rotation BA
+    initialization.
+
+    With unit-depth back-projected landmarks and identity rotations,
+    a camera translation t shifts every projection by approximately
+    (fx*tx, fy*ty), so the per-keyframe median flow against each
+    track's DEFINING observation gives a closed-form translation guess
+    that puts Gauss-Newton inside its convergence basin (identity-pose
+    starts leave large sequences at tens of px of reprojection error).
+
+    lm_idx, cam_idx: [M] i32; u, v: [M] pixel observations;
+    first: [L] index of each landmark's defining observation.
+    Returns t0 [n_pose, 3] f32 (tz = 0).
+    """
+    u = np.asarray(u)
+    v = np.asarray(v)
+    du = u - u[first[lm_idx]]
+    dv = v - v[first[lm_idx]]
+    t0 = np.zeros((n_pose, 3), np.float32)
+    for p in range(n_pose):
+        m = cam_idx == p
+        if m.any():
+            t0[p, 0] = np.median(du[m]) / fx
+            t0[p, 1] = np.median(dv[m]) / fy
+    return t0
+
+
 def select_keyframes(val, overlap_thresh: float = 0.6,
                      min_gap: int = 1):
     """Greedy keyframe selection by tracked-feature overlap.
