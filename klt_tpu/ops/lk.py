@@ -276,8 +276,8 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
         extract2 = lambda py0, px0: _ds_flat(stack2, py0, px0, k, k)
     elif use_v2:
         inner = lk2.lk_level_inner_flat
-        p1w = extract_flat(sp1, y10, x10, h + 1, w + 1, k)
         extract2 = lambda py0, px0: extract_flat(sp2, py0, px0, k, k, k)
+        p1w = None  # set below (possibly merged with round-1 p2)
     else:
         inner = lk_level_inner
         p1w = extract_packed_cb(sp1, y10, x10, h + 1, w + 1)
@@ -297,9 +297,31 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
     oob1_i = col(oob1.astype(jnp.int32))
     ax1c, ay1c = col(ax1), col(ay1)
 
-    def round_once(x2c, y2c, status, iters, done):
+    p2_first = None
+    if p1w is None:
+        # v2 one-hot path: p1w pending.  Optionally MERGE the
+        # first-image window extraction with the first round's p2 into
+        # one call — the extraction chain's latency is paid once
+        # instead of twice per level (KLT_TPU_MERGED_EXTRACT=1).
+        if os.environ.get("KLT_TPU_MERGED_EXTRACT", "0") == "1":
+            padrows = k - (h + 1)
+            spb = jnp.concatenate(
+                [sp1, jnp.zeros((padrows, sp1.shape[1]), sp1.dtype),
+                 sp2])
+            hoff = nr + padrows
+            py0_0, px0_0 = anchors(x2, y2)
+            cat = extract_flat(
+                spb, jnp.concatenate([y10, py0_0 + hoff]),
+                jnp.concatenate([x10, px0_0]), k, k, k)
+            p1w = cat[:n]
+            p2_first = cat[n:]
+        else:
+            p1w = extract_flat(sp1, y10, x10, h + 1, w + 1, k)
+
+    def round_once(x2c, y2c, status, iters, done, p2=None):
         py0, px0 = anchors(x2c, y2c)
-        p2 = extract2(py0, px0)
+        if p2 is None:
+            p2 = extract2(py0, px0)
         fstate = jnp.concatenate(
             [col(x2c), col(y2c), ax1c, ay1c,
              col(px0.astype(jnp.float32)), col(py0.astype(jnp.float32))],
@@ -315,7 +337,7 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
     # straight-line rounds follow (deterministic no-ops for converged
     # lanes), then the while_loop tail handles stragglers.
     x2f, y2f, status, iters, done, residue = round_once(
-        x2, y2, status0, iters0, done0)
+        x2, y2, status0, iters0, done0, p2=p2_first)
     for _ in range(cfg.reanchor_unroll):
         x2f, y2f, status, iters, done, residue = round_once(
             x2f, y2f, status, iters, done)
