@@ -327,6 +327,10 @@ def extract_flat(stack_packed: jax.Array, y0: jax.Array, x0: jax.Array,
     f = y0.shape[0]
     band, rem = _band_select(stack_packed, y0, ny)
 
+    # Block-diagonal column one-hot.  (A per-channel split with 3x
+    # fewer MACs plus a lane interleave was measured SLOWER
+    # in-pipeline, like every other extraction restructuring on this
+    # toolchain — see PARITY.md's negative-results list.)
     j = jnp.arange(c * k, dtype=jnp.int32)
     ch = j // k
     i = j % k
