@@ -120,3 +120,35 @@ def test_lk2_channel_major_layout_matches(provided_frames, monkeypatch):
     np.testing.assert_array_equal(a[2], b[2])
     np.testing.assert_array_equal(a[0], b[0])
     np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_lk2_multi_block_features(provided_frames, monkeypatch):
+    """F > FEATURE_BLOCK exercises the v2 kernel's grid padding /
+    multi-block path; must match the single-call jnp oracle."""
+    import jax.numpy as jnp
+    import klt_tpu.ops.lk as L
+    from klt_tpu.config import TrackingConfig
+    from klt_tpu.ops.pyramid import build_image_pyramids
+
+    monkeypatch.setenv("KLT_TPU_PALLAS_INTERPRET", "1")
+    cfg = TrackingConfig()
+    p1 = build_image_pyramids(jnp.asarray(provided_frames[0]), cfg)
+    p2 = build_image_pyramids(jnp.asarray(provided_frames[1]), cfg)
+    rng = np.random.RandomState(3)
+    n = 600  # spans two FEATURE_BLOCK=512 grid blocks with padding
+    x = jnp.asarray(rng.uniform(20, 300, n).astype(np.float32))
+    y = jnp.asarray(rng.uniform(20, 220, n).astype(np.float32))
+    v = jnp.zeros(n, jnp.int32)
+    args = (list(p1[0]), list(p1[1]), list(p1[2]),
+            list(p2[0]), list(p2[1]), list(p2[2]), x, y, v, cfg)
+    xk, yk, vk = L.track_features_pyramid(*args)
+
+    monkeypatch.setenv("KLT_TPU_NO_PALLAS", "1")
+    xo, yo, vo = L.track_features_pyramid(*args)
+    agree = (np.asarray(vk) == np.asarray(vo)).mean()
+    assert agree >= 0.99, f"status agreement {agree}"
+    both = (np.asarray(vk) >= 0) & (np.asarray(vo) >= 0)
+    d = np.hypot(np.asarray(xk) - np.asarray(xo),
+                 np.asarray(yk) - np.asarray(yo))[both]
+    if len(d):
+        assert d.max() < 1e-2, f"drift {d.max()}"

@@ -173,3 +173,38 @@ def test_prefilter_audit_certifies_replacement():
         os.environ.pop("KLT_TPU_NO_PREFILTER")
     np.testing.assert_array_equal(fl.x, fl2.x)
     np.testing.assert_array_equal(fl.val, fl2.val)
+
+
+def test_device_replace_exhaustion_and_floor():
+    """ops.replace: when no candidate reaches max(1, min_eigenvalue)
+    after suppression, remaining lost slots must become NOT_FOUND at
+    (-1, -1) — the reference's pointlist-exhausted branch
+    (src/V1/selectGoodFeatures.c:180-195)."""
+    import jax.numpy as jnp
+    from klt_tpu.config import TrackingConfig, NOT_FOUND
+    from klt_tpu.ops.replace import replace_lost_features_device
+
+    cfg = TrackingConfig(min_eigenvalue=10 ** 6)  # nothing qualifies
+    h, w = 64, 96
+    rng = np.random.RandomState(0)
+    gx = jnp.asarray(rng.randn(h, w).astype(np.float32))
+    gy = jnp.asarray(rng.randn(h, w).astype(np.float32))
+    x = jnp.asarray([20.0, 30.0, -1.0, -1.0], jnp.float32)
+    y = jnp.asarray([20.0, 30.0, -1.0, -1.0], jnp.float32)
+    v = jnp.asarray([0, 0, -1, -2], jnp.int32)
+    xn, yn, vn = replace_lost_features_device(gx, gy, x, y, v, cfg)
+    xn, yn, vn = np.asarray(xn), np.asarray(yn), np.asarray(vn)
+    np.testing.assert_array_equal(vn[:2], [0, 0])  # live slots untouched
+    assert (vn[2:] == NOT_FOUND).all()
+    assert (xn[2:] == -1).all() and (yn[2:] == -1).all()
+
+    # and with an achievable floor every lost slot refills outside the
+    # suppression square of the live features
+    cfg2 = TrackingConfig()
+    xn, yn, vn = replace_lost_features_device(gx, gy, x, y, v, cfg2)
+    xn, yn, vn = np.asarray(xn), np.asarray(yn), np.asarray(vn)
+    assert (vn >= 0).all()
+    stamp = cfg2.mindist - 1
+    for i in (2, 3):
+        for j in (0, 1):
+            assert max(abs(xn[i] - xn[j]), abs(yn[i] - yn[j])) > stamp
