@@ -301,7 +301,7 @@ def bench_slam_e2e(jax, jnp, klt, out):
     from klt_tpu.runtime.pipeline import track_sequence_replace
     from klt_tpu.slam import (tracks_from_table, select_keyframes,
                               BAProblem, bundle_adjust_cg)
-    from klt_tpu.slam.chains import ba_translation_prior
+    from klt_tpu.slam.frontend import keyframe_pose_graph_init
 
     cfg = klt.TrackingConfig(sequential_mode=True)
     n_frames, n_feat = 200, 1000
@@ -351,12 +351,15 @@ def bench_slam_e2e(jax, jnp, klt, out):
     lm0[:, 0] = (u[first] - cx) / fx
     lm0[:, 1] = (v[first] - cy) / fy
     lm0[:, 2] = 1.0
-    t0_prior = ba_translation_prior(lm_idx, cam_idx, u, v, first,
-                                    n_pose, fx, fy)
+    # front end -> POSE GRAPH -> BA: relative poses from tiny two-pose
+    # BAs on shared tracks, chained through the SE(3) pose graph
+    t_pg0 = time.perf_counter()
+    R_init, t_init, pg_costs = keyframe_pose_graph_init(
+        lm_idx, cam_idx, u, v, n_pose, fx, fy, cx, cy)
+    pg_s = time.perf_counter() - t_pg0
     prob = BAProblem(
-        R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
-                           (n_pose, 3, 3)).copy(),
-        t=jnp.asarray(t0_prior),
+        R=jnp.asarray(R_init),
+        t=jnp.asarray(t_init),
         landmarks=jnp.asarray(lm0),
         cam_idx=jnp.asarray(cam_idx), lm_idx=jnp.asarray(lm_idx),
         uv=jnp.asarray(np.stack([u, v], -1).astype(np.float32)),
@@ -372,6 +375,9 @@ def bench_slam_e2e(jax, jnp, klt, out):
         "frames": n_frames, "features": n_feat,
         "keyframes": int(n_pose), "landmarks": int(n_lm),
         "observations": int(len(cam_idx)),
+        "pose_graph_seconds": round(pg_s, 2),
+        "pose_graph_cost": [round(float(pg_costs[i]), 5)
+                            for i in (0, -1)],
         "ba_seconds": round(ba_s, 2),
         "reproj_rms_px": [round(float(np.sqrt(
             costs[i] / max(len(cam_idx), 1))), 3) for i in (0, -1)],

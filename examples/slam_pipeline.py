@@ -6,11 +6,12 @@ the feature table to observation chains, selects keyframes by feature
 overlap, and refines a bundle-adjustment problem (poses + landmarks)
 from the tracks with the matrix-free Schur/CG solver.
 
-Monocular initialization here is deliberately simple (identity poses,
-unit-depth back-projection) — the point of the example is the
-production data flow frames -> FeatureTable -> chains -> keyframes ->
-distributed BA; see tests/test_slam.py for BA accuracy validation on
-synthetic geometry.
+Monocular initialization: unit-depth back-projected landmarks plus
+absolute poses from slam.frontend.keyframe_pose_graph_init (tiny
+two-pose BAs on shared tracks -> SE(3) pose graph), so the full
+pipeline is frames -> FeatureTable -> chains -> keyframes ->
+pose graph -> distributed BA; see tests/test_slam.py for accuracy
+validation on synthetic geometry.
 
 Usage:
     python examples/slam_pipeline.py [dataset] [nFeatures] [nFrames]
@@ -32,7 +33,7 @@ import klt_tpu as klt  # noqa: E402
 from klt_tpu.io.dataset import find_dataset, ImageSequence  # noqa: E402
 from klt_tpu.slam import (tracks_from_table, select_keyframes,  # noqa: E402
                           BAProblem, bundle_adjust, bundle_adjust_cg)
-from klt_tpu.slam.chains import ba_translation_prior  # noqa: E402
+from klt_tpu.slam.frontend import keyframe_pose_graph_init  # noqa: E402
 
 
 def frontend_device(seq, n_features, n_frames, cfg, chunk):
@@ -154,10 +155,15 @@ def main():
     lm0[:, 1] = (v[first] - cy) / fy
     lm0[:, 2] = 1.0
 
+    # front end -> POSE GRAPH -> BA: relative poses from tiny two-pose
+    # BAs on shared tracks, chained through the SE(3) pose graph
+    R_init, t_init, pg_costs = keyframe_pose_graph_init(
+        lm_idx, cam_idx, u, v, n_pose, fx, fy, cx, cy)
+    print(f"pose graph: cost {float(pg_costs[0]):.3e} -> "
+          f"{float(pg_costs[-1]):.3e}")
     prob = BAProblem(
-        R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
-                           (n_pose, 3, 3)).copy(),
-        t=jnp.zeros((n_pose, 3), jnp.float32),
+        R=jnp.asarray(R_init),
+        t=jnp.asarray(t_init),
         landmarks=jnp.asarray(lm0),
         cam_idx=jnp.asarray(cam_idx), lm_idx=jnp.asarray(lm_idx),
         uv=jnp.asarray(np.stack([u, v], -1).astype(np.float32)),

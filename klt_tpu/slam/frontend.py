@@ -1,0 +1,147 @@
+"""Front-end -> pose-graph -> bundle-adjustment assembly.
+
+The missing middle of the tracking-to-mapping pipeline: derive RELATIVE
+pose measurements between consecutive keyframes from their shared
+tracks (each via a tiny two-pose bundle adjustment on padded, fixed
+shapes so one compiled program serves every pair), chain them through
+the SE(3) pose graph (slam/pose_graph.py), and hand the refined
+absolute poses to the full bundle adjustment as its initialization.
+All geometry comes from the tracked features themselves — no external
+odometry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .ba import BAProblem, bundle_adjust
+from .pose_graph import PoseGraph, optimize_pose_graph
+from .chains import ba_translation_prior
+
+
+def _pair_problem(lm_idx, cam_idx, u, v, i, j, fx, fy, cx, cy,
+                  max_obs, t_prior):
+    """Two-pose BAProblem over tracks seen by BOTH keyframes i and j,
+    padded to max_obs observations / max_obs landmarks."""
+    on_i = set(lm_idx[cam_idx == i].tolist())
+    on_j = set(lm_idx[cam_idx == j].tolist())
+    shared = np.asarray(sorted(on_i & on_j), np.int64)
+    sel = np.isin(lm_idx, shared) & np.isin(cam_idx, [i, j])
+    li, ci, uu, vv = lm_idx[sel], cam_idx[sel], u[sel], v[sel]
+    remap = {int(t): k for k, t in enumerate(shared)}
+    li = np.asarray([remap[int(t)] for t in li], np.int32)
+    ci = (ci == j).astype(np.int32)
+    n_lm = len(shared)
+
+    lm0 = np.zeros((max_obs, 3), np.float32)
+    first = {}
+    for m in range(len(li)):
+        if ci[m] == 0 and int(li[m]) not in first:
+            first[int(li[m])] = m
+    for lid, m in first.items():
+        lm0[lid] = [(uu[m] - cx) / fx, (vv[m] - cy) / fy, 1.0]
+    lm0[n_lm:, 2] = 1.0
+
+    m = len(li)
+    pad = max_obs - m
+    if pad < 0:  # too many shared obs: keep the strongest max_obs
+        keep = np.argsort(li)[:max_obs]
+        li, ci, uu, vv = li[keep], ci[keep], uu[keep], vv[keep]
+        m, pad = max_obs, 0
+    z = lambda a, val: np.concatenate(
+        [a, np.full(pad, val, a.dtype)])
+    weight = np.concatenate([np.ones(m, np.float32),
+                             np.zeros(pad, np.float32)])
+    t0 = np.zeros((2, 3), np.float32)
+    t0[1] = t_prior[j] - t_prior[i]
+    return BAProblem(
+        R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
+                           (2, 3, 3)).copy(),
+        t=jnp.asarray(t0),
+        landmarks=jnp.asarray(lm0),
+        cam_idx=jnp.asarray(z(li * 0 + ci, 0)),
+        lm_idx=jnp.asarray(z(li, 0)),
+        uv=jnp.asarray(np.stack(
+            [z(uu.astype(np.float32), 0.0),
+             z(vv.astype(np.float32), 0.0)], -1)),
+        weight=jnp.asarray(weight), fx=fx, fy=fy, cx=cx, cy=cy), n_lm
+
+
+def keyframe_pose_graph_init(lm_idx, cam_idx, u, v, n_pose,
+                             fx, fy, cx, cy, pair_iters: int = 8,
+                             pg_iters: int = 10):
+    """Absolute keyframe poses from tracked features only.
+
+    1. tiny two-pose BA per consecutive keyframe pair (one compiled
+       program, shapes padded to the largest pair) -> relative poses;
+    2. SE(3) pose-graph optimization over the chain;
+    3. returns (R [P,3,3], t [P,3]) for the full BA to start from.
+    """
+    t_prior = ba_translation_prior(
+        lm_idx, cam_idx, u, v,
+        _first_obs(lm_idx), n_pose, fx, fy)
+
+    # fixed shape across pairs -> one compiled tiny-BA program
+    max_obs = 0
+    for i in range(n_pose - 1):
+        m = int((np.isin(cam_idx, [i, i + 1])).sum())
+        max_obs = max(max_obs, m)
+    max_obs = max(8, int(2 ** np.ceil(np.log2(max_obs))))
+
+    # chain edges (i, i+1) plus redundant skip edges (i, i+2) so the
+    # pose graph has over-determination to optimize, not a bare chain
+    pairs = [(i, i + 1) for i in range(n_pose - 1)]
+    pairs += [(i, i + 2) for i in range(n_pose - 2)]
+
+    Rz, tz, ei, ej = [], [], [], []
+    for i, j in pairs:
+        prob, n_lm = _pair_problem(lm_idx, cam_idx, u, v, i, j,
+                                   fx, fy, cx, cy, max_obs, t_prior)
+        if n_lm < 8:
+            if j != i + 1:
+                continue  # drop weak skip edges entirely
+            Rz.append(np.eye(3, dtype=np.float32))
+            tz.append((t_prior[j] - t_prior[i]).astype(np.float32))
+        else:
+            R, t, _, _ = bundle_adjust(prob, iterations=pair_iters,
+                                       damping=1e-3)
+            R, t = np.asarray(R), np.asarray(t)
+            # Z_ij at the solved pair: (R_i R_j^T, t_i - R_i R_j^T t_j)
+            Rrel = R[0] @ R[1].T
+            Rz.append(Rrel.astype(np.float32))
+            tz.append((t[0] - Rrel @ t[1]).astype(np.float32))
+        ei.append(i)
+        ej.append(j)
+
+    # chain integration (consecutive edges only) for the start point
+    consec = {a: idx for idx, (a, b) in enumerate(zip(ei, ej))
+              if b == a + 1}
+    R0 = [np.eye(3, dtype=np.float32)]
+    t0 = [np.zeros(3, np.float32)]
+    for i in range(n_pose - 1):
+        kk = consec[i]
+        # T_j = Z_ij^-1 * T_i  (camera-from-world)
+        Rj = Rz[kk].T @ R0[-1]
+        tj = Rz[kk].T @ (t0[-1] - tz[kk])
+        R0.append(Rj.astype(np.float32))
+        t0.append(tj.astype(np.float32))
+
+    pg = PoseGraph(
+        R=jnp.asarray(np.stack(R0)), t=jnp.asarray(np.stack(t0)),
+        ei=jnp.asarray(ei, jnp.int32), ej=jnp.asarray(ej, jnp.int32),
+        Rz=jnp.asarray(np.stack(Rz)), tz=jnp.asarray(np.stack(tz)),
+        weight=jnp.ones(len(ei), jnp.float32))
+    R, t, costs = optimize_pose_graph(pg, iterations=pg_iters)
+    return np.asarray(R), np.asarray(t), np.asarray(costs)
+
+
+def _first_obs(lm_idx):
+    n_lm = int(lm_idx.max()) + 1 if len(lm_idx) else 0
+    first = np.full(n_lm, -1, np.int64)
+    for m in range(len(lm_idx) - 1, -1, -1):
+        first[lm_idx[m]] = m
+    return first

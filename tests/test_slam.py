@@ -319,3 +319,34 @@ def test_keyframes_replacement_not_survival():
         val[(j % 2)::2, j] = 1000
     kfs = select_keyframes(val, overlap_thresh=0.7, min_gap=1)
     assert len(kfs) >= t // 2, f"keyframes {kfs}"
+
+
+def test_keyframe_pose_graph_init_recovers_translation():
+    """frontend.keyframe_pose_graph_init: tiny pairwise BAs ->
+    pose-graph chain must recover a synthetic forward-translating
+    trajectory's direction (monocular scale is arbitrary)."""
+    from klt_tpu.slam.frontend import keyframe_pose_graph_init
+    from klt_tpu.slam.geometry import project
+
+    rng = np.random.RandomState(7)
+    fx = fy = 300.0
+    cx, cy = 160.0, 120.0
+    n_pose, n_lm = 5, 120
+    lm = rng.uniform([-2, -2, 3], [2, 2, 6], (n_lm, 3)).astype(np.float32)
+    t_true = np.stack([[0.12 * p, 0.03 * p, 0.0]
+                       for p in range(n_pose)]).astype(np.float32)
+    cam_idx = np.repeat(np.arange(n_pose, dtype=np.int32), n_lm)
+    lm_idx = np.tile(np.arange(n_lm, dtype=np.int32), n_pose)
+    p_cam = lm[lm_idx] + t_true[cam_idx]
+    uv = np.asarray(project(jnp.asarray(p_cam), fx, fy, cx, cy))
+
+    R, t, costs = keyframe_pose_graph_init(
+        lm_idx, cam_idx, uv[:, 0], uv[:, 1], n_pose, fx, fy, cx, cy)
+    # rotations near identity
+    assert np.abs(R - np.eye(3)[None]).max() < 0.05
+    # translation DIRECTION recovered (scale is monocular-arbitrary)
+    d_est = t[-1] - t[0]
+    d_true = t_true[-1] - t_true[0]
+    cos = float(d_est @ d_true /
+                (np.linalg.norm(d_est) * np.linalg.norm(d_true) + 1e-9))
+    assert cos > 0.95, f"direction cosine {cos}"
