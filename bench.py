@@ -366,7 +366,7 @@ def bench_slam_e2e(jax, jnp, klt, out):
         weight=jnp.ones(len(cam_idx), jnp.float32),
         fx=fx, fy=fy, cx=cx, cy=cy)
     t0 = time.perf_counter()
-    R, t, lm, costs = bundle_adjust_cg(prob, iterations=15)
+    R, t, lm, costs = bundle_adjust_cg(prob, iterations=25)
     jax.block_until_ready(costs)
     ba_s = time.perf_counter() - t0
     costs = np.asarray(costs)

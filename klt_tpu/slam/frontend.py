@@ -13,14 +13,44 @@ odometry.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .ba import BAProblem, bundle_adjust
+from .ba import BAProblem, bundle_adjust, _gn_step
 from .pose_graph import PoseGraph, optimize_pose_graph
 from .chains import ba_translation_prior
+
+
+@functools.lru_cache(maxsize=8)
+def _pair_runner(max_obs: int, fx: float, fy: float, cx: float,
+                 cy: float, iters: int):
+    """One compiled plain-Gauss-Newton two-pose solver reused for every
+    keyframe pair (bundle_adjust re-jits per call because its driver
+    closes over the problem arrays; pairs here all share one padded
+    shape, so a cached jit pays the compile once)."""
+
+    @jax.jit
+    def run(t0, lm0, cam_idx, lm_idx, uv, weight):
+        prob = BAProblem(
+            R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
+                               (2, 3, 3)),
+            t=t0, landmarks=lm0, cam_idx=cam_idx, lm_idx=lm_idx,
+            uv=uv, weight=weight, fx=fx, fy=fy, cx=cx, cy=cy)
+
+        def body(carry, _):
+            R, t, lm = carry
+            Rn, tn, lmn, cost = _gn_step(R, t, lm, prob, None,
+                                         1e-3, True)
+            return (Rn, tn, lmn), cost
+
+        (R, t, lm), costs = jax.lax.scan(
+            body, (prob.R, t0, lm0), None, length=iters)
+        return R, t
+
+    return run
 
 
 def _pair_problem(lm_idx, cam_idx, u, v, i, j, fx, fy, cx, cy,
@@ -107,8 +137,9 @@ def keyframe_pose_graph_init(lm_idx, cam_idx, u, v, n_pose,
             Rz.append(np.eye(3, dtype=np.float32))
             tz.append((t_prior[j] - t_prior[i]).astype(np.float32))
         else:
-            R, t, _, _ = bundle_adjust(prob, iterations=pair_iters,
-                                       damping=1e-3)
+            run = _pair_runner(max_obs, fx, fy, cx, cy, pair_iters)
+            R, t = run(prob.t, prob.landmarks, prob.cam_idx,
+                       prob.lm_idx, prob.uv, prob.weight)
             R, t = np.asarray(R), np.asarray(t)
             # Z_ij at the solved pair: (R_i R_j^T, t_i - R_i R_j^T t_j)
             Rrel = R[0] @ R[1].T
