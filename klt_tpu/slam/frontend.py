@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .ba import BAProblem, bundle_adjust, _gn_step
+from .ba import BAProblem, bundle_adjust, _gn_step, _total_cost
 from .pose_graph import PoseGraph, optimize_pose_graph
 from .chains import ba_translation_prior
 
@@ -27,10 +27,12 @@ from .chains import ba_translation_prior
 @functools.lru_cache(maxsize=8)
 def _pair_runner(max_obs: int, fx: float, fy: float, cx: float,
                  cy: float, iters: int):
-    """One compiled plain-Gauss-Newton two-pose solver reused for every
-    keyframe pair (bundle_adjust re-jits per call because its driver
-    closes over the problem arrays; pairs here all share one padded
-    shape, so a cached jit pays the compile once)."""
+    """One compiled two-pose Levenberg-Marquardt solver reused for
+    every keyframe pair (bundle_adjust re-jits per call because its
+    driver closes over the problem arrays; pairs here all share one
+    padded shape, so a cached jit pays the compile once).  The LM
+    accept/reject is load-bearing: plain damped Gauss-Newton diverges
+    (NaN) on real pairs with near-degenerate shared geometry."""
 
     @jax.jit
     def run(t0, lm0, cam_idx, lm_idx, uv, weight):
@@ -39,15 +41,25 @@ def _pair_runner(max_obs: int, fx: float, fy: float, cx: float,
                                (2, 3, 3)),
             t=t0, landmarks=lm0, cam_idx=cam_idx, lm_idx=lm_idx,
             uv=uv, weight=weight, fx=fx, fy=fy, cx=cx, cy=cy)
+        c0 = _total_cost(prob.R, t0, lm0, prob)
 
         def body(carry, _):
-            R, t, lm = carry
-            Rn, tn, lmn, cost = _gn_step(R, t, lm, prob, None,
-                                         1e-3, True)
-            return (Rn, tn, lmn), cost
+            R, t, lm, lam, c_cur = carry
+            Rn, tn, lmn, _ = _gn_step(R, t, lm, prob, None, lam, True)
+            c_new = _total_cost(Rn, tn, lmn, prob)
+            ok = (c_new < c_cur) & jnp.isfinite(c_new)
+            sel = lambda a, b: jnp.where(ok, a, b)
+            R = jnp.where(ok, Rn, R)
+            t = sel(tn, t)
+            lm = sel(lmn, lm)
+            lam = jnp.where(ok, jnp.maximum(lam * 0.5, 1e-6),
+                            lam * 4.0)
+            c_cur = sel(c_new, c_cur)
+            return (R, t, lm, lam, c_cur), c_cur
 
-        (R, t, lm), costs = jax.lax.scan(
-            body, (prob.R, t0, lm0), None, length=iters)
+        (R, t, lm, _, _), _ = jax.lax.scan(
+            body, (prob.R, t0, lm0, jnp.float32(1e-2), c0), None,
+            length=iters)
         return R, t
 
     return run
