@@ -282,7 +282,11 @@ def _band_select(stack_packed: jax.Array, y0: jax.Array, ny: int):
     if hp:
         stack_packed = jnp.pad(stack_packed, ((0, hp), (0, 0)))
     nb_img = (h + hp) // b
-    nblk = ny // b + 1
+    # rows rem..rem+ny-1 with rem in [0, b): the last touched row is at
+    # most ny + b - 2, needing (ny+b-2)//b + 1 aligned blocks.  (The
+    # round-1 formula ny//b + 1 under-counted for ny < b — caught by
+    # the window-geometry fuzz test.)
+    nblk = (ny + b - 2) // b + 1
     f = y0.shape[0]
     b0 = y0 // b
     rem = y0 - b0 * b

@@ -226,7 +226,8 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
     nr, nc = stack1.shape[-2], stack1.shape[-1]
     k = _kernel_patch_size(nr, nc, cfg)
     ncf, nrf = np.float32(nc), np.float32(nr)
-    margin = (k - (h + 1)) // 2
+    margin_y = (k - (h + 1)) // 2
+    margin_x = (k - (w + 1)) // 2
     n = x1.shape[0]
 
     col = lambda v: v[:, None]  # [F] -> [F, 1]
@@ -286,8 +287,8 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
     oob1 = _window_oob(x1, y1, hw, hh, ncf, nrf)
 
     def anchors(x2c, y2c):
-        py0 = jnp.clip(y2c.astype(jnp.int32) - hhi - margin, 0, nr - k)
-        px0 = jnp.clip(x2c.astype(jnp.int32) - hwi - margin, 0, nc - k)
+        py0 = jnp.clip(y2c.astype(jnp.int32) - hhi - margin_y, 0, nr - k)
+        px0 = jnp.clip(x2c.astype(jnp.int32) - hwi - margin_x, 0, nc - k)
         return py0, px0
 
     status0 = jnp.full(x2.shape, TRACKED, jnp.int32)

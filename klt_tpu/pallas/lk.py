@@ -68,7 +68,8 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int):
     min_det = np.float32(cfg.min_determinant)
     max_iter = cfg.max_iterations
     lighting = cfg.lighting_insensitive
-    n_off = k - (w + 1) + 1  # valid in-patch offsets per axis
+    n_off_x = k - (w + 1) + 1  # valid in-patch column offsets
+    n_off_y = k - (h + 1) + 1  # valid in-patch row offsets
 
     def window_oob(x, y):
         return ((x - hw < 0.0) | (ncf - (x + hw) < _EPS) |
@@ -124,19 +125,19 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int):
             ay = y2c - yt.astype(jnp.float32)
             ox = xt - hwi - a2xi
             oy = yt - hhi - a2yi
-            ovf = ((ox < 0) | (ox > n_off - 1) |
-                   (oy < 0) | (oy > n_off - 1))
-            ox3 = jnp.clip(ox, 0, n_off - 1)[:, :, None]
-            oy3 = jnp.clip(oy, 0, n_off - 1)[:, :, None]
+            ovf = ((ox < 0) | (ox > n_off_x - 1) |
+                   (oy < 0) | (oy > n_off_y - 1))
+            ox3 = jnp.clip(ox, 0, n_off_x - 1)[:, :, None]
+            oy3 = jnp.clip(oy, 0, n_off_y - 1)[:, :, None]
 
             rows = jnp.zeros((f, h + 1, 3 * k), jnp.float32)
-            for s in range(n_off):
+            for s in range(n_off_y):
                 m = (oy3 == s).astype(jnp.float32)
                 rows = rows + m * p2[:, s:s + h + 1, :]
             # column select: static lane rolls; circular wrap only
-            # reaches lanes >= 3K - n_off, which blend never reads
+            # reaches lanes >= 3K - n_off_x, which blend never reads
             win = jnp.zeros((f, h + 1, 3 * k), jnp.float32)
-            for t in range(n_off):
+            for t in range(n_off_x):
                 m = (ox3 == t).astype(jnp.float32)
                 sl = rows if t == 0 else pltpu.roll(rows, 3 * k - t, 2)
                 win = win + m * sl

@@ -58,7 +58,8 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
     min_det = np.float32(cfg.min_determinant)
     max_iter = cfg.max_iterations
     lighting = cfg.lighting_insensitive
-    n_off = k - (w + 1) + 1  # valid in-patch offsets per axis
+    n_off_x = k - (w + 1) + 1  # valid in-patch column offsets
+    n_off_y = k - (h + 1) + 1  # valid in-patch row offsets
     if layout == "rc":       # lane J = r*3K + c*K + i (canvas order)
         rs, cs = 3 * k, k
     else:                    # "cr": J = c*K^2 + r*K + i — the NATIVE
@@ -108,12 +109,12 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
     def shift_to(x, oy, ox):
         """Masked binary static rolls by oy*rs + ox lanes."""
         b = 1
-        while b < n_off:
+        while b < n_off_x:
             bit = ((ox & b) != 0).astype(jnp.float32)
             x = bit * rollL(x, b) + (1.0 - bit) * x
             b *= 2
         b = 1
-        while b < n_off:
+        while b < n_off_y:
             bit = ((oy & b) != 0).astype(jnp.float32)
             x = bit * rollL(x, b * rs) + (1.0 - bit) * x
             b *= 2
@@ -157,10 +158,10 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
             ay = y2c - yt.astype(jnp.float32)
             ox = xt - hwi - a2xi
             oy = yt - hhi - a2yi
-            ovf = ((ox < 0) | (ox > n_off - 1) |
-                   (oy < 0) | (oy > n_off - 1))
-            oxc = jnp.clip(ox, 0, n_off - 1)
-            oyc = jnp.clip(oy, 0, n_off - 1)
+            ovf = ((ox < 0) | (ox > n_off_x - 1) |
+                   (oy < 0) | (oy > n_off_y - 1))
+            oxc = jnp.clip(ox, 0, n_off_x - 1)
+            oyc = jnp.clip(oy, 0, n_off_y - 1)
             win = shift_to(p2, oyc, oxc)
             return blend(win, ax, ay), ovf
 
@@ -255,9 +256,10 @@ def supported(cfg: TrackingConfig, k: int, layout: str = "rc") -> bool:
     roll-wrapped garbage at the top of the patch."""
     w, h = cfg.window_width, cfg.window_height
     rs, cs = (3 * k, k) if layout == "rc" else (k, k * k)
-    n_off = k - (w + 1) + 1
+    n_off_x = k - (w + 1) + 1
+    n_off_y = k - (h + 1) + 1
     max_read = (h - 1) * rs + 2 * cs + (w - 1) + rs + 1
-    max_shift = (n_off - 1) * (rs + 1)
+    max_shift = (n_off_y - 1) * rs + (n_off_x - 1)
     return max_read < 3 * k * k - max_shift
 
 

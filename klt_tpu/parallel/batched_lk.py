@@ -41,7 +41,8 @@ def _track_level_kernel_batched(stack1, stack2, x1, y1, x2, y2, active,
     hwi, hhi = w // 2, h // 2
     k = _kernel_patch_size(nr, nc, cfg)
     ncf, nrf = np.float32(nc), np.float32(nr)
-    margin = (k - (h + 1)) // 2
+    margin_y = (k - (h + 1)) // 2
+    margin_x = (k - (w + 1)) // 2
 
     flat = lambda v: v.reshape(n)
     col = lambda v: v.reshape(n, 1)
@@ -77,8 +78,8 @@ def _track_level_kernel_batched(stack1, stack2, x1, y1, x2, y2, active,
     oob1_i = col(_window_oob(x1f, y1f, hw, hh, ncf, nrf).astype(jnp.int32))
 
     def anchors(x2c, y2c):
-        py0 = jnp.clip(y2c.astype(jnp.int32) - hhi - margin, 0, nr - k)
-        px0 = jnp.clip(x2c.astype(jnp.int32) - hwi - margin, 0, nc - k)
+        py0 = jnp.clip(y2c.astype(jnp.int32) - hhi - margin_y, 0, nr - k)
+        px0 = jnp.clip(x2c.astype(jnp.int32) - hwi - margin_x, 0, nc - k)
         return py0, px0
 
     x2f0, y2f0 = flat(x2), flat(y2)

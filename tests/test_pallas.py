@@ -152,3 +152,39 @@ def test_lk2_multi_block_features(provided_frames, monkeypatch):
                  np.asarray(yk) - np.asarray(yo))[both]
     if len(d):
         assert d.max() < 1e-2, f"drift {d.max()}"
+
+
+@pytest.mark.parametrize("ww,wh", [(5, 5), (9, 9), (7, 9), (9, 5),
+                                   (5, 9), (11, 11), (13, 13)])
+def test_lk2_window_geometry_fuzz(provided_frames, monkeypatch, ww, wh):
+    """The v2 flattened-lane kernel's roll/wrap geometry must hold for
+    every window size the config system allows (the wrap-safety margin
+    is derived per config by lk2.supported; sizes it rejects must fall
+    back cleanly)."""
+    import jax.numpy as jnp
+    import klt_tpu.ops.lk as L
+    from klt_tpu.config import TrackingConfig
+    from klt_tpu.ops.pyramid import build_image_pyramids
+
+    monkeypatch.setenv("KLT_TPU_PALLAS_INTERPRET", "1")
+    cfg = TrackingConfig(window_width=ww, window_height=wh)
+    p1 = build_image_pyramids(jnp.asarray(provided_frames[0]), cfg)
+    p2 = build_image_pyramids(jnp.asarray(provided_frames[1]), cfg)
+    rng = np.random.RandomState(ww * 100 + wh)
+    n = 64
+    x = jnp.asarray(rng.uniform(25, 295, n).astype(np.float32))
+    y = jnp.asarray(rng.uniform(25, 215, n).astype(np.float32))
+    v = jnp.zeros(n, jnp.int32)
+    args = (list(p1[0]), list(p1[1]), list(p1[2]),
+            list(p2[0]), list(p2[1]), list(p2[2]), x, y, v, cfg)
+    xk, yk, vk = L.track_features_pyramid(*args)
+
+    monkeypatch.setenv("KLT_TPU_NO_PALLAS", "1")
+    xo, yo, vo = L.track_features_pyramid(*args)
+    agree = (np.asarray(vk) == np.asarray(vo)).mean()
+    assert agree >= 0.98, f"status agreement {agree}"
+    both = (np.asarray(vk) >= 0) & (np.asarray(vo) >= 0)
+    d = np.hypot(np.asarray(xk) - np.asarray(xo),
+                 np.asarray(yk) - np.asarray(yo))[both]
+    if len(d):
+        assert d.max() < 5e-2, f"drift {d.max()}"
