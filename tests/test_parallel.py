@@ -116,3 +116,33 @@ def test_batched_sequence_matches_single(provided_frames):
         for i in range(b):
             np.testing.assert_array_equal(np.asarray(a[:, i]),
                                           np.asarray(r))
+
+
+def test_batched_matches_single_odd_sizes(provided_frames, monkeypatch):
+    """Batched kernel path at awkward (B, F) combos must match the
+    single-sequence path lane for lane."""
+    import jax.numpy as jnp
+    from klt_tpu.config import TrackingConfig
+    from klt_tpu.parallel.batched_lk import track_sequences_batched
+    from klt_tpu.runtime.pipeline import track_sequence
+
+    monkeypatch.setenv("KLT_TPU_PALLAS_INTERPRET", "1")
+    cfg = TrackingConfig(sequential_mode=True)
+    frames = np.stack(provided_frames[:4])
+    rng = np.random.RandomState(9)
+    for b, n in ((3, 37), (2, 130)):
+        x = rng.uniform(30, 290, (b, n)).astype(np.float32)
+        y = rng.uniform(30, 210, (b, n)).astype(np.float32)
+        v = np.zeros((b, n), np.int32)
+        fb = jnp.asarray(np.broadcast_to(frames, (b,) + frames.shape))
+        xs, ys, vs = track_sequences_batched(
+            fb, jnp.asarray(x), jnp.asarray(y), jnp.asarray(v), cfg)
+        for lane in range(b):
+            rs = track_sequence(jnp.asarray(frames),
+                                jnp.asarray(x[lane]),
+                                jnp.asarray(y[lane]),
+                                jnp.asarray(v[lane]), cfg)
+            np.testing.assert_array_equal(np.asarray(vs[-1][lane]),
+                                          np.asarray(rs[2][-1]))
+            np.testing.assert_allclose(np.asarray(xs[-1][lane]),
+                                       np.asarray(rs[0][-1]), atol=1e-4)
