@@ -220,3 +220,40 @@ def test_lk2_pyramid_config_fuzz(provided_frames, monkeypatch, sr):
                  np.asarray(yk) - np.asarray(yo))[both]
     if len(d):
         assert d.max() < 5e-2, f"drift {d.max()}"
+
+
+@pytest.mark.parametrize("ww,wh", [(7, 7), (9, 5)])
+def test_lk2_lighting_geometry_fuzz(provided_frames, monkeypatch,
+                                    ww, wh):
+    """Lighting-insensitive kernel branch across window geometries vs
+    the no-Pallas oracle."""
+    import jax.numpy as jnp
+    import klt_tpu.ops.lk as L
+    from klt_tpu.config import TrackingConfig
+    from klt_tpu.ops.pyramid import build_image_pyramids
+
+    monkeypatch.setenv("KLT_TPU_PALLAS_INTERPRET", "1")
+    cfg = TrackingConfig(window_width=ww, window_height=wh,
+                         lighting_insensitive=True)
+    # brightness-scaled second frame exercises the gain/bias path
+    f2 = np.clip(provided_frames[1].astype(np.float32) * 1.15 + 6.0,
+                 0, 255).astype(np.uint8)
+    p1 = build_image_pyramids(jnp.asarray(provided_frames[0]), cfg)
+    p2 = build_image_pyramids(jnp.asarray(f2), cfg)
+    rng = np.random.RandomState(ww + wh)
+    n = 48
+    x = jnp.asarray(rng.uniform(30, 290, n).astype(np.float32))
+    y = jnp.asarray(rng.uniform(30, 210, n).astype(np.float32))
+    v = jnp.zeros(n, jnp.int32)
+    args = (list(p1[0]), list(p1[1]), list(p1[2]),
+            list(p2[0]), list(p2[1]), list(p2[2]), x, y, v, cfg)
+    xk, yk, vk = L.track_features_pyramid(*args)
+    monkeypatch.setenv("KLT_TPU_NO_PALLAS", "1")
+    xo, yo, vo = L.track_features_pyramid(*args)
+    agree = (np.asarray(vk) == np.asarray(vo)).mean()
+    assert agree >= 0.97, f"status agreement {agree}"
+    both = (np.asarray(vk) >= 0) & (np.asarray(vo) >= 0)
+    d = np.hypot(np.asarray(xk) - np.asarray(xo),
+                 np.asarray(yk) - np.asarray(yo))[both]
+    if len(d):
+        assert d.max() < 5e-2, f"drift {d.max()}"
