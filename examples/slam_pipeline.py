@@ -91,14 +91,20 @@ def frontend_host(seq, n_features, n_frames, cfg):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    dataset = args[0] if len(args) > 0 else "images_provided"
-    n_features = int(args[1]) if len(args) > 1 else 150
-    n_frames = int(args[2]) if len(args) > 2 else 10
-    host = "--host" in sys.argv
-    chunk = 64
-    if "--chunk" in sys.argv:
-        chunk = int(sys.argv[sys.argv.index("--chunk") + 1])
+    import argparse
+    ap = argparse.ArgumentParser(description="KLT front-end -> SLAM "
+                                 "back-end pipeline")
+    ap.add_argument("dataset", nargs="?", default="images_provided")
+    ap.add_argument("n_features", nargs="?", type=int, default=150)
+    ap.add_argument("n_frames", nargs="?", type=int, default=10)
+    ap.add_argument("--host", action="store_true",
+                    help="reference-style host loop instead of the "
+                         "device scan")
+    ap.add_argument("--chunk", type=int, default=64,
+                    help="device-scan chunk length")
+    ns = ap.parse_args()
+    dataset, n_features, n_frames = ns.dataset, ns.n_features, ns.n_frames
+    host, chunk = ns.host, ns.chunk
 
     path = find_dataset(dataset)
     if path is None:

@@ -215,6 +215,20 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
         def sample2_all(xs, ys):
             return _sample_in_patch3(resid, xs - pax0f, ys - pay0f,
                                      pres)
+
+        # A warp+drift that leaves the ~16 px resident margin would
+        # silently read edge-clamped values where the reference reads
+        # real image data — mark such features OOB instead (they are
+        # beyond affine_max_displacement_differ in practice anyway).
+        presf = np.float32(pres)
+
+        def patch_oob_x(c):
+            lc = c - pax0f[:, 0]
+            return (lc < 0.0) | (presf - lc < _EPS)
+
+        def patch_oob_y(c):
+            lc = c - pay0f[:, 0]
+            return (lc < 0.0) | (presf - lc < _EPS)
     else:
         # image smaller than the resident patch: keep gather sampling
         def sample2_img(xs, ys):
@@ -224,6 +238,11 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
             return (bilinear_sample(img2, xs, ys),
                     bilinear_sample(gradx2, xs, ys),
                     bilinear_sample(grady2, xs, ys))
+
+        def patch_oob_x(c):
+            return jnp.zeros_like(c, bool)
+
+        patch_oob_y = patch_oob_x
 
     # Patch-side windows are iteration-invariant.
     xs1 = x1[:, None] + dxo[None, :]
@@ -248,13 +267,16 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
         if mode == 0:
             oob = (src_oob |
                    (x2 - hw < 0.0) | (nc2f - (x2 + hw) < _EPS) |
-                   (y2 - hh < 0.0) | (nr2f - (y2 + hh) < _EPS))
+                   (y2 - hh < 0.0) | (nr2f - (y2 + hh) < _EPS) |
+                   patch_oob_x(x2 - hw) | patch_oob_x(x2 + hw) |
+                   patch_oob_y(y2 - hh) | patch_oob_y(y2 + hh))
         else:
             cs = _corners(axx, ayx, axy, ayy, x2, y2, hw, hh)
             oob = src_oob
             for k in range(0, 8, 2):
-                oob = oob | _coord_oob(cs[k], nc2f) | _coord_oob(cs[k + 1],
-                                                                 nr2f)
+                oob = (oob | _coord_oob(cs[k], nc2f) |
+                       _coord_oob(cs[k + 1], nr2f) |
+                       patch_oob_x(cs[k]) | patch_oob_y(cs[k + 1]))
         status = jnp.where(~done & oob, OOB, status)
         done = done | oob
 

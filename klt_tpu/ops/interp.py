@@ -193,7 +193,10 @@ def onehot_extract_packed(stack: jax.Array, y0: jax.Array, x0: jax.Array,
     if hp:
         stack = jnp.pad(stack, ((0, 0), (0, hp), (0, 0)))
     nb_img = (h_img + hp) // b
-    nblk = ny // b + 1  # aligned blocks covering any ny-row band
+    # rows rem..rem+ny-1 with rem in [0, b): last touched row is at most
+    # ny + b - 2, needing (ny+b-2)//b + 1 aligned blocks (the ny//b + 1
+    # formula under-counts for ny % b >= 2 — same fix as _band_select)
+    nblk = (ny + b - 2) // b + 1
 
     b0 = y0 // b
     rem = y0 - b0 * b  # in-block row offset, [0, b)

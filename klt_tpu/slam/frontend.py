@@ -79,21 +79,29 @@ def _pair_problem(lm_idx, cam_idx, u, v, i, j, fx, fy, cx, cy,
     ci = (ci == j).astype(np.int32)
     n_lm = len(shared)
 
+    m = len(li)
+    if m > max_obs:
+        # max_obs is sized over every pair actually solved, so this is
+        # a defensive path only; drop WHOLE landmarks (highest ids
+        # first) so no observation pair is orphaned
+        counts = np.bincount(li, minlength=n_lm)
+        keep_lm = n_lm
+        while keep_lm > 0 and counts[:keep_lm].sum() > max_obs:
+            keep_lm -= 1
+        keep = li < keep_lm
+        li, ci, uu, vv = li[keep], ci[keep], uu[keep], vv[keep]
+        n_lm, m = keep_lm, int(keep.sum())
+    pad = max_obs - m
+
     lm0 = np.zeros((max_obs, 3), np.float32)
     first = {}
-    for m in range(len(li)):
-        if ci[m] == 0 and int(li[m]) not in first:
-            first[int(li[m])] = m
-    for lid, m in first.items():
-        lm0[lid] = [(uu[m] - cx) / fx, (vv[m] - cy) / fy, 1.0]
+    for k in range(len(li)):
+        if ci[k] == 0 and int(li[k]) not in first:
+            first[int(li[k])] = k
+    for lid, k in first.items():
+        lm0[lid] = [(uu[k] - cx) / fx, (vv[k] - cy) / fy, 1.0]
     lm0[n_lm:, 2] = 1.0
 
-    m = len(li)
-    pad = max_obs - m
-    if pad < 0:  # too many shared obs: keep the strongest max_obs
-        keep = np.argsort(li)[:max_obs]
-        li, ci, uu, vv = li[keep], ci[keep], uu[keep], vv[keep]
-        m, pad = max_obs, 0
     z = lambda a, val: np.concatenate(
         [a, np.full(pad, val, a.dtype)])
     weight = np.concatenate([np.ones(m, np.float32),
@@ -127,17 +135,23 @@ def keyframe_pose_graph_init(lm_idx, cam_idx, u, v, n_pose,
         lm_idx, cam_idx, u, v,
         _first_obs(lm_idx), n_pose, fx, fy)
 
-    # fixed shape across pairs -> one compiled tiny-BA program
-    max_obs = 0
-    for i in range(n_pose - 1):
-        m = int((np.isin(cam_idx, [i, i + 1])).sum())
-        max_obs = max(max_obs, m)
-    max_obs = max(8, int(2 ** np.ceil(np.log2(max_obs))))
-
     # chain edges (i, i+1) plus redundant skip edges (i, i+2) so the
     # pose graph has over-determination to optimize, not a bare chain
     pairs = [(i, i + 1) for i in range(n_pose - 1)]
     pairs += [(i, i + 2) for i in range(n_pose - 2)]
+
+    # fixed shape across pairs -> one compiled tiny-BA program; sized
+    # by the shared-landmark observation count of EVERY pair solved
+    # (skip edges included — they can share more than chain edges)
+    def shared_obs(i, j):
+        on_i = set(lm_idx[cam_idx == i].tolist())
+        on_j = set(lm_idx[cam_idx == j].tolist())
+        shared = np.asarray(sorted(on_i & on_j), np.int64)
+        return int((np.isin(lm_idx, shared) &
+                    np.isin(cam_idx, [i, j])).sum())
+
+    max_obs = max([shared_obs(i, j) for i, j in pairs] + [1])
+    max_obs = max(8, int(2 ** np.ceil(np.log2(max_obs))))
 
     Rz, tz, ei, ej = [], [], [], []
     for i, j in pairs:

@@ -57,9 +57,21 @@ def so3_log(R):
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], -1)
     one_mc = jnp.where(near_pi, 1.0 - c, 1.0)[..., None]
     axis2 = jnp.maximum((diag - c[..., None]) / one_mc, 1e-12)
-    # at exactly pi the axis sign is ambiguous (R(pi,a) == R(pi,-a));
-    # near pi take it from w, falling back to +1 where w vanishes
-    sign = jnp.where(w >= 0.0, 1.0, -1.0)
+    # Relative axis signs from the symmetric part: (S - cI)[i, j] =
+    # a_i a_j (1 - c), so sign(a_i) relative to the dominant axis k is
+    # sign(S[i, k]) — robust at exactly theta = pi, where componentwise
+    # sign(w) would collapse to all-+1 for mixed-sign axes.  The GLOBAL
+    # sign comes from w's dominant component (w = 2 sin(theta) a, still
+    # accurate slightly below pi); at exactly pi it is the legitimate
+    # R(pi, a) == R(pi, -a) ambiguity and +1 is a valid choice.
+    S = 0.5 * (R + jnp.swapaxes(R, -1, -2))
+    kk = jax.nn.one_hot(jnp.argmax(axis2, axis=-1), 3, dtype=R.dtype)
+    scol = jnp.einsum("...ij,...j->...i",
+                      S - c[..., None, None] *
+                      jnp.eye(3, dtype=R.dtype), kk)
+    rel = jnp.where(scol >= 0.0, 1.0, -1.0)   # rel[k] = +1 (scol_k > 0)
+    wk = jnp.sum(w * kk, axis=-1, keepdims=True)
+    sign = jnp.where(wk < 0.0, -rel, rel)
     log_pi = theta_pi[..., None] * sign * jnp.sqrt(axis2)
     return jnp.where(near_pi[..., None], log_pi, w * scale)
 

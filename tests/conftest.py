@@ -49,6 +49,22 @@ def provided_frames():
     return [read_pgm(os.path.join(d, f"img{i}.pgm")) for i in range(10)]
 
 
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run tests marked slow (full fuzz matrices)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if (config.getoption("--runslow") or
+            os.environ.get("KLT_TPU_SLOW_TESTS") == "1"):
+        return
+    skip = pytest.mark.skip(reason="slow: use --runslow or "
+                            "KLT_TPU_SLOW_TESTS=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(autouse=True)
 def _quiet():
     import klt_tpu

@@ -90,6 +90,7 @@ def test_lk_kernel_matches_gather_oracle(provided_frames, interpret_pallas,
         np.testing.assert_allclose(ry[both], oy[both], atol=1e-3)
 
 
+@pytest.mark.slow
 def test_lk2_channel_major_layout_matches(provided_frames, monkeypatch):
     """The v2 kernel's channel-major ('cr') lane layout — used by the
     KLT_TPU_EXTRACT=ds2 block-gather variant — must match the default
@@ -122,6 +123,7 @@ def test_lk2_channel_major_layout_matches(provided_frames, monkeypatch):
     np.testing.assert_array_equal(a[1], b[1])
 
 
+@pytest.mark.slow
 def test_lk2_multi_block_features(provided_frames, monkeypatch):
     """F > FEATURE_BLOCK exercises the v2 kernel's grid padding /
     multi-block path; must match the single-call jnp oracle."""
@@ -154,8 +156,17 @@ def test_lk2_multi_block_features(provided_frames, monkeypatch):
         assert d.max() < 1e-2, f"drift {d.max()}"
 
 
-@pytest.mark.parametrize("ww,wh", [(5, 5), (9, 9), (7, 9), (9, 5),
-                                   (5, 9), (11, 11), (13, 13)])
+# (9, 5) stays in the fast gate as the non-square representative (it
+# exercises the per-axis n_off path that caught the round-2 bug); the
+# rest of the matrix runs with --runslow / KLT_TPU_SLOW_TESTS=1
+@pytest.mark.parametrize("ww,wh", [
+    pytest.param(5, 5, marks=pytest.mark.slow),
+    pytest.param(9, 9, marks=pytest.mark.slow),
+    pytest.param(7, 9, marks=pytest.mark.slow),
+    (9, 5),
+    pytest.param(5, 9, marks=pytest.mark.slow),
+    pytest.param(11, 11, marks=pytest.mark.slow),
+    pytest.param(13, 13, marks=pytest.mark.slow)])
 def test_lk2_window_geometry_fuzz(provided_frames, monkeypatch, ww, wh):
     """The v2 flattened-lane kernel's roll/wrap geometry must hold for
     every window size the config system allows (the wrap-safety margin
@@ -190,7 +201,11 @@ def test_lk2_window_geometry_fuzz(provided_frames, monkeypatch, ww, wh):
         assert d.max() < 5e-2, f"drift {d.max()}"
 
 
-@pytest.mark.parametrize("sr", [5, 30, 60])
+# sr=60 (3-level/ss8) stays in the fast gate; the rest is slow-gated
+@pytest.mark.parametrize("sr", [
+    pytest.param(5, marks=pytest.mark.slow),
+    pytest.param(30, marks=pytest.mark.slow),
+    60])
 def test_lk2_pyramid_config_fuzz(provided_frames, monkeypatch, sr):
     """search_range-derived pyramid variants (1-level, 2-level/ss4,
     3-level/ss8) through the kernel path vs the no-Pallas oracle."""
@@ -222,7 +237,11 @@ def test_lk2_pyramid_config_fuzz(provided_frames, monkeypatch, sr):
         assert d.max() < 5e-2, f"drift {d.max()}"
 
 
-@pytest.mark.parametrize("ww,wh", [(7, 7), (9, 5)])
+# (9, 5) non-square stays in the fast gate; default geometry is
+# already covered by the lighting table tests
+@pytest.mark.parametrize("ww,wh", [
+    pytest.param(7, 7, marks=pytest.mark.slow),
+    (9, 5)])
 def test_lk2_lighting_geometry_fuzz(provided_frames, monkeypatch,
                                     ww, wh):
     """Lighting-insensitive kernel branch across window geometries vs

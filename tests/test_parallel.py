@@ -118,6 +118,7 @@ def test_batched_sequence_matches_single(provided_frames):
                                           np.asarray(r))
 
 
+@pytest.mark.slow
 def test_batched_matches_single_odd_sizes(provided_frames, monkeypatch):
     """Batched kernel path at awkward (B, F) combos must match the
     single-sequence path lane for lane."""

@@ -197,6 +197,7 @@ def test_ba_cg_sharded_matches_single():
                                rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ba_cg_large_scale_sharded():
     """The north-star scale contract: >= 200 keyframes x >= 20k
     landmarks, observation-sharded over the 8-device mesh, W never
@@ -257,6 +258,7 @@ def test_pose_graph_cg_matches_dense():
                                rtol=0, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_pose_graph_cg_sharded_large():
     """Large chain+loop-closure graph (800 keyframes), edge-sharded
     over the 8-device mesh, H never materialized (dense H would be
