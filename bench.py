@@ -159,6 +159,44 @@ def bench_flagship_batched(jax, jnp, klt, out):
         }
 
 
+def _table_parity(entry, xs, ys, vs, fixture, col0=1):
+    """Per-config accuracy vs the reference CPU oracle table
+    (tests/fixtures/*.ft, regenerated by tools/fixtures/gen_tables.sh
+    from a -O0 -ffp-contract=off reference build = golden semantics).
+
+    xs/ys/vs: per-step arrays [T, N] where step t corresponds to oracle
+    column col0 + t.  Emits live-status agreement and drift stats over
+    co-live features.  With per-frame replacement, an exact-integer
+    response tie can pick a different replacement feature whose track
+    then diverges legitimately — median/p99/within-0.5px drift plus the
+    agreement rate state parity honestly where a single max would not.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "tests", "fixtures", fixture)
+    if not os.path.exists(path):
+        entry["parity"] = f"oracle missing: tools/fixtures/gen_tables.sh"
+        return
+    from klt_tpu.io.features_io import read_feature_table
+    oracle = read_feature_table(path)
+    t_max = min(len(xs), oracle.x.shape[1] - col0)
+    agree, total = 0, 0
+    drifts = []
+    for t in range(t_max):
+        ox = oracle.x[:, col0 + t]
+        oy = oracle.y[:, col0 + t]
+        ov = oracle.val[:, col0 + t]
+        agree += int(((vs[t] >= 0) == (ov >= 0)).sum())
+        total += len(ov)
+        both = (vs[t] >= 0) & (ov >= 0)
+        if both.any():
+            drifts.append(np.hypot(xs[t] - ox, ys[t] - oy)[both])
+    d = np.concatenate(drifts) if drifts else np.zeros(1)
+    entry["status_agreement"] = round(agree / max(total, 1), 4)
+    entry["drift_px_median"] = float(np.median(d))
+    entry["drift_px_p99"] = float(np.percentile(d, 99))
+    entry["within_half_px"] = round(float((d <= 0.5).mean()), 4)
+
+
 def bench_traffic_replace(jax, jnp, klt, out):
     """Config 2: 500 features, full 551-frame sequence, per-frame
     device-resident replacement inside the scan, writeFeatures output."""
@@ -209,13 +247,17 @@ def bench_traffic_replace(jax, jnp, klt, out):
     xf, yf, vf = run(x, y, v, collect=False)
     dt = time.perf_counter() - t0
     klt.write_feature_table(ft, "/tmp/traffic_features.ft")
-    out["traffic_500feat_replace_551f"] = {
+    entry = {
         "frames_per_s": round((n_frames - 1) / dt, 1),
         "vs_measured_cpu_baseline": round(
             (n_frames - 1) / dt / CPU_TRAFFIC_REPLACE_FPS, 1),
+        "frames": int(n_frames),
         "final_live_features": int((np.asarray(vf) >= 0).sum()),
         "write_features_output": "/tmp/traffic_features.ft",
     }
+    _table_parity(entry, ft.x.T[1:], ft.y.T[1:], ft.val.T[1:],
+                  "table_traffic_500r.ft", col0=1)
+    out["traffic_500feat_replace_551f"] = entry
 
 
 def bench_laptops_affine(jax, jnp, klt, out):
@@ -241,13 +283,16 @@ def bench_laptops_affine(jax, jnp, klt, out):
         jax.block_until_ready(r)
         best = min(best, (time.perf_counter() - t0) / n_pairs)
     vs_final = np.asarray(r[2][-1])
-    out["laptops_2000feat_affine_4level"] = {
+    entry = {
         "frames_per_s": round(1.0 / best, 1),
         "vs_measured_cpu_baseline": round(
             1.0 / best / CPU_LAPTOPS_AFFINE_FPS, 2),
         "frames": int(frames.shape[0]),
         "final_live_features": int((vs_final >= 0).sum()),
     }
+    _table_parity(entry, np.asarray(r[0]), np.asarray(r[1]),
+                  np.asarray(r[2]), "table_laptops_2000aff.ft", col0=1)
+    out["laptops_2000feat_affine_4level"] = entry
 
 
 def bench_batched_3x4096(jax, jnp, klt, out):

@@ -165,6 +165,8 @@ def onehot_extract_packed_rows(stack: jax.Array, y0: jax.Array,
 
 
 _ROW_BLOCK = 8  # aligned row-block size for the blocked extraction
+_ROWS_MIN_F = 512  # feature count from which the exact-row (unblocked)
+#                    extraction formulation wins (tools/bench_extract2)
 
 
 def onehot_extract_packed(stack: jax.Array, y0: jax.Array, x0: jax.Array,
@@ -327,11 +329,19 @@ def extract_flat(stack_packed: jax.Array, y0: jax.Array, x0: jax.Array,
 
     Same row-block one-hot + block-diagonal column one-hot as
     extract_packed_cb, with the canvas geometry folded into the column
-    one-hot so the only layout op is the final rows->lanes reshape."""
+    one-hot so the only layout op is the final rows->lanes reshape.
+
+    At batched feature counts the blocked band materialization and the
+    3-step realign dominate as pure HBM relayout traffic (round-3
+    trace: realign alone 1.6 ms/step at F=2400); the exact-row
+    formulation (extract_flat_rows) removes both and wins 1.6-2.3x
+    from F~2400 up, so large F dispatches there (bit-identical)."""
     prec = jax.lax.Precision.HIGH
     h, cw = stack_packed.shape
     w_img = cw // c
     f = y0.shape[0]
+    if f >= _ROWS_MIN_F:
+        return extract_flat_rows(stack_packed, y0, x0, ny, nx, k, c)
     band, rem = _band_select(stack_packed, y0, ny)
 
     # Block-diagonal column one-hot.  (A per-channel split with 3x
@@ -350,6 +360,131 @@ def extract_flat(stack_packed: jax.Array, y0: jax.Array, x0: jax.Array,
     sel = jnp.einsum("frw,fwj->frj", band, col_oh, precision=prec,
                      preferred_element_type=jnp.float32)
     out = _realign_rows(sel, rem, ny)           # [F, ny, c*k]
+    if ny < k:
+        out = jnp.pad(out, ((0, 0), (0, k - ny), (0, 0)))
+    return out.reshape(f, c * k * k)
+
+
+def extract_flat_rows(stack_packed: jax.Array, y0: jax.Array,
+                      x0: jax.Array, ny: int, nx: int, k: int,
+                      c: int = 3) -> jax.Array:
+    """extract_flat via EXACT-row one-hot selection (no 8-row blocks,
+    no realign).  At large F the blocked formulation's band
+    materialization ([F, nblk*8, C*W]) and 3-step realign dominate as
+    pure HBM relayout traffic; selecting the exact ny rows costs ~8x
+    the row-stage MACs but at MXU-friendly contraction H, removes the
+    realign entirely, and shrinks the band by nblk*8/ny.  Bit-identical
+    to extract_flat (one-hot selection at the same precision)."""
+    prec = jax.lax.Precision.HIGH
+    h, cw = stack_packed.shape
+    w_img = cw // c
+    f = y0.shape[0]
+    rows = (y0[:, None] +
+            jnp.arange(ny, dtype=jnp.int32)[None, :]).reshape(-1)
+    hi = jnp.arange(h, dtype=jnp.int32)
+    row_oh = (rows[:, None] == hi[None, :]).astype(jnp.float32)
+    band = jnp.dot(row_oh, stack_packed, precision=prec,
+                   preferred_element_type=jnp.float32)  # [F*ny, C*W]
+    band = band.reshape(f, ny, cw)
+
+    j = jnp.arange(c * k, dtype=jnp.int32)
+    ch = j // k
+    i = j % k
+    target = ch * w_img + i
+    valid = (i < nx)
+    wp = jnp.arange(cw, dtype=jnp.int32)
+    col_oh = (((x0[:, None, None] + target[None, None, :]) ==
+               wp[None, :, None]) &
+              valid[None, None, :]).astype(jnp.float32)  # [F, C*W, c*k]
+    out = jnp.einsum("frw,fwj->frj", band, col_oh, precision=prec,
+                     preferred_element_type=jnp.float32)  # [F, ny, c*k]
+    if ny < k:
+        out = jnp.pad(out, ((0, 0), (0, k - ny), (0, 0)))
+    return out.reshape(f, c * k * k)
+
+
+def extract_flat_rows_cb(stack_packed: jax.Array, y0: jax.Array,
+                         x0: jax.Array, ny: int, nx: int, k: int,
+                         c: int = 3) -> jax.Array:
+    """extract_flat via exact-row one-hot + 8-lane COLUMN-BLOCK
+    selection (and a 3-step lane realign).
+
+    MEASURED NEGATIVE RESULT (kept as the A/B record, not wired into
+    any hot path): on TPU v5e the batched [F, ny*8, CB] @ [F, CB, c*nbx]
+    tiny-matmul is 1.35-1.7x SLOWER than extract_flat_rows' big
+    column one-hot (tools/bench_extract2.py: 1784 vs 1317 us at
+    F=2400, 4593 vs 3026 at F=4096) — XLA handles the [F, C*W, c*k]
+    one-hot better than a 43x-smaller one-hot driving F tiny matmuls.
+
+    The intended structure:
+
+      1. permute the packed stack's lanes ONCE per call so lane
+         l*CB + b holds original lane b*8 + l (b = col block, l = lane
+         within block) — the row-stage matmul then lands the band
+         directly in (l, b)-major layout, no transpose of the big band;
+      2. exact-row one-hot selects the ny rows (MXU contraction H);
+      3. per-feature col-BLOCK one-hot picks nbx aligned blocks per
+         channel (batched matmul, contraction C*W/8 on the minor dim);
+      4. minor-dim rearrange (l, ch, bi) -> (ch, bi, l) on the small
+         result, then a binary 3-step lane realign by x0 % 8.
+
+    Requires W % 8 == 0 (channel boundaries block-aligned) and
+    k <= 8 * nbx; callers fall back to extract_flat_rows otherwise.
+    Bit-identical to extract_flat (one-hot selection, same precision).
+    """
+    prec = jax.lax.Precision.HIGH
+    h, cw = stack_packed.shape
+    w_img = cw // c
+    f = y0.shape[0]
+    nbx = (nx + _ROW_BLOCK - 2) // _ROW_BLOCK + 1
+    if w_img % _ROW_BLOCK or k > _ROW_BLOCK * nbx:
+        return extract_flat_rows(stack_packed, y0, x0, ny, nx, k, c)
+    b8 = _ROW_BLOCK
+    cb = cw // b8
+    w8 = w_img // b8
+
+    # 1. lane permutation: [H, CW] -> [H, 8, CB] laid out l-major
+    stack_t = stack_packed.reshape(h, cb, b8).transpose(0, 2, 1)
+    stack_t = stack_t.reshape(h, cw)
+
+    # 2. exact-row band, already (l, b)-major in lanes
+    rows = (y0[:, None] +
+            jnp.arange(ny, dtype=jnp.int32)[None, :]).reshape(-1)
+    hi = jnp.arange(h, dtype=jnp.int32)
+    row_oh = (rows[:, None] == hi[None, :]).astype(jnp.float32)
+    band = jnp.dot(row_oh, stack_t, precision=prec,
+                   preferred_element_type=jnp.float32)
+    band = band.reshape(f, ny * b8, cb)
+
+    # 3. per-feature column-block one-hot [F, CB, c*nbx]
+    cc = jnp.arange(c * nbx, dtype=jnp.int32)
+    ch = cc // nbx
+    bi = cc % nbx
+    blk = jnp.clip(x0[:, None] // b8 + ch[None, :] * w8 + bi[None, :],
+                   0, cb - 1)                       # [F, c*nbx]
+    bidx = jnp.arange(cb, dtype=jnp.int32)
+    col_oh = (blk[:, None, :] ==
+              bidx[None, :, None]).astype(jnp.float32)  # [F, CB, c*nbx]
+    sel = jnp.einsum("frb,fbc->frc", band, col_oh, precision=prec,
+                     preferred_element_type=jnp.float32)
+    # [F, ny*8, c*nbx]: dims (r, l) x (ch, bi)
+
+    # 4. rearrange to (r, ch, bi, l) and realign lanes by x0 % 8
+    sel = sel.reshape(f, ny, b8, c * nbx).transpose(0, 1, 3, 2)
+    sel = sel.reshape(f, ny, c, nbx * b8).reshape(f, ny, c * nbx * b8)
+    rem = x0 % b8
+    shift = 1
+    while shift < b8:
+        bit = ((rem & shift) != 0)[:, None, None]
+        keep = sel.shape[2] - shift
+        shifted = jnp.pad(sel[:, :, shift:shift + keep],
+                          ((0, 0), (0, 0), (0, shift)))
+        sel = jnp.where(bit, shifted, sel)
+        shift *= 2
+    sel = sel.reshape(f, ny, c, nbx * b8)[:, :, :, :k]
+    lane_i = jnp.arange(k, dtype=jnp.int32)
+    sel = sel * (lane_i[None, None, None, :] < nx)
+    out = sel.reshape(f, ny, c * k)
     if ny < k:
         out = jnp.pad(out, ((0, 0), (0, k - ny), (0, 0)))
     return out.reshape(f, c * k * k)

@@ -263,7 +263,13 @@ def supported(cfg: TrackingConfig, k: int, layout: str = "rc") -> bool:
     return max_read < 3 * k * k - max_shift
 
 
-FEATURE_BLOCK = 512
+import os
+
+# Feature-axis grid-block size.  Each grid block runs its OWN
+# while_loop, so smaller blocks exit earlier when their lanes converge
+# (at batched feature counts the per-block iteration max approaches
+# max_iterations with 512 lanes/block); env-tunable for measurement.
+FEATURE_BLOCK = int(os.environ.get("KLT_TPU_FEATURE_BLOCK", "512"))
 
 
 @functools.lru_cache(maxsize=64)

@@ -23,17 +23,19 @@ from ..ops.interp import pack_stack_channels, extract_packed_cb
 from ..ops.pyramid import build_image_pyramids
 
 
-def _track_level_kernel_batched(stack1, stack2, x1, y1, x2, y2, active,
+def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
                                 cfg: TrackingConfig):
     """Batched variant of ops.lk._track_level_kernel.
 
-    stack1/stack2: [B, 3, H, W]; coordinate/mask arrays [B, F].
-    One Pallas kernel invocation tracks all B*F features.
+    sp1/sp2: channel-PACKED stacks [B, H, 3W] (pack_stack_channels);
+    coordinate/mask arrays [B, F].  One Pallas kernel invocation tracks
+    all B*F features.
     """
     import os
     from ..pallas.lk import lk_level_inner
 
-    b, _, nr, nc = stack1.shape
+    b, nr, cw = sp1.shape
+    nc = cw // 3
     f = x1.shape[1]
     n = b * f
     w, h = cfg.window_width, cfg.window_height
@@ -46,8 +48,6 @@ def _track_level_kernel_batched(stack1, stack2, x1, y1, x2, y2, active,
 
     flat = lambda v: v.reshape(n)
     col = lambda v: v.reshape(n, 1)
-    sp1 = jax.vmap(pack_stack_channels)(stack1)  # [B, H, 3W]
-    sp2 = jax.vmap(pack_stack_channels)(stack2)
 
     x1f, y1f = flat(x1), flat(y1)
     xt1 = x1.astype(jnp.int32)
@@ -61,9 +61,13 @@ def _track_level_kernel_batched(stack1, stack2, x1, y1, x2, y2, active,
     use_v2 = (os.environ.get("KLT_TPU_LK_V1", "0") != "1"
               and lk2.supported(cfg, k))
     if use_v2:
-        from ..ops.interp import extract_flat
+        from ..ops.interp import extract_flat, extract_flat_rows, \
+            _ROWS_MIN_F
         inner = lk2.lk_level_inner_flat
-        exf = jax.vmap(extract_flat, in_axes=(0, 0, 0, None, None, None))
+        # formulation choice is by TOTAL feature count B*F (each vmap
+        # lane only sees F, but the einsums batch over B)
+        exfn = extract_flat_rows if n >= _ROWS_MIN_F else extract_flat
+        exf = jax.vmap(exfn, in_axes=(0, 0, 0, None, None, None))
         p1w = exf(sp1, y10, x10, h + 1, w + 1, k).reshape(n, 3 * k * k)
         extract2 = lambda py0, px0: exf(sp2, py0, px0, k, k,
                                         k).reshape(n, 3 * k * k)
@@ -133,39 +137,50 @@ def _track_level_kernel_batched(stack1, stack2, x1, y1, x2, y2, active,
             status.reshape(b, f), iters.reshape(b, f))
 
 
-def _track_level_batched(stack1, stack2, x1, y1, x2, y2, active,
+def _unpack_stack(sp):
+    """[B, H, 3W] packed -> [B, 3, H, W] (fallback paths only)."""
+    b, h, cw = sp.shape
+    w = cw // 3
+    return sp.reshape(b, h, 3, w).transpose(0, 2, 1, 3)
+
+
+def _track_level_batched(sp1, sp2, x1, y1, x2, y2, active,
                          cfg: TrackingConfig):
     """Batched track_level with ops.lk.track_level's static shape
     dispatch: a level smaller than the tracking window is all-OOB, and
     a level smaller than the kernel patch falls back to the per-sequence
     gather oracle — so batched results match the single-sequence path
-    on degenerate pyramid shapes (e.g. 48x48 frames)."""
+    on degenerate pyramid shapes (e.g. 48x48 frames).
+
+    sp1/sp2: channel-packed [B, H, 3W] level stacks — the layout the
+    kernel path consumes directly (the fallback unpacks)."""
     w, h = cfg.window_width, cfg.window_height
-    nr, nc = stack1.shape[-2], stack1.shape[-1]
+    nr, nc = sp1.shape[-2], sp1.shape[-1] // 3
     if nr < h + 1 or nc < w + 1:
         status = jnp.where(active, jnp.int32(OOB), jnp.int32(TRACKED))
         return x2, y2, status, jnp.zeros_like(status)
     from ..pallas import pallas_enabled
     k = _kernel_patch_size(nr, nc, cfg)
     if (pallas_enabled() and min(nr, nc) >= k and max(h, w) + 3 <= k):
-        return _track_level_kernel_batched(stack1, stack2, x1, y1,
+        return _track_level_kernel_batched(sp1, sp2, x1, y1,
                                            x2, y2, active, cfg)
     return jax.vmap(
         lambda s1, s2, a, b, c, d, m:
         _track_level_gather(s1, s2, a, b, c, d, m, cfg)
-    )(stack1, stack2, x1, y1, x2, y2, active)
+    )(_unpack_stack(sp1), _unpack_stack(sp2), x1, y1, x2, y2, active)
 
 
-def track_features_pyramid_batched(pyr1, gradx1, grady1, pyr2, gradx2,
-                                   grady2, x, y, val,
+def track_features_pyramid_batched(sps1, sps2, x, y, val,
                                    cfg: TrackingConfig):
-    """Batched coarse-to-fine driver: pyr*/grad* are finest-first lists
-    of [B, H_l, W_l]; x, y f32 [B, F]; val i32 [B, F].
+    """Batched coarse-to-fine driver: sps1/sps2 are finest-first lists
+    of channel-PACKED [B, H_l, 3*W_l] level stacks (what the scan
+    carries — packing happens once per frame, not per level access);
+    x, y f32 [B, F]; val i32 [B, F].
 
     Mirrors ops.lk.track_features_pyramid's classification exactly."""
     s = np.float32(cfg.subsampling)
     nlev = cfg.n_pyramid_levels
-    nr0, nc0 = pyr1[0].shape[-2], pyr1[0].shape[-1]
+    nr0, nc0 = sps1[0].shape[-2], sps1[0].shape[-1] // 3
     alive = val >= 0
 
     xloc, yloc = x, y
@@ -184,10 +199,8 @@ def track_features_pyramid_batched(pyr1, gradx1, grady1, pyr2, gradx2,
         xout = jnp.where(in_loop, xout * s, xout)
         yout = jnp.where(in_loop, yout * s, yout)
 
-        stack1 = jnp.stack([pyr1[r], gradx1[r], grady1[r]], axis=1)
-        stack2 = jnp.stack([pyr2[r], gradx2[r], grady2[r]], axis=1)
         x2, y2, st, _ = _track_level_batched(
-            stack1, stack2, xloc, yloc, xout, yout, in_loop, cfg)
+            sps1[r], sps2[r], xloc, yloc, xout, yout, in_loop, cfg)
 
         xout = jnp.where(in_loop, x2, xout)
         yout = jnp.where(in_loop, y2, yout)
@@ -207,6 +220,14 @@ def track_features_pyramid_batched(pyr1, gradx1, grady1, pyr2, gradx2,
     return x_new, y_new, val_new
 
 
+def _packed_stacks(imgs, cfg: TrackingConfig):
+    """uint8 frames [B, H, W] -> finest-first tuple of channel-packed
+    [B, H_l, 3*W_l] level stacks (ONE pack per level per frame)."""
+    from ..ops.pyramid import build_pyramid_stacks
+    sts = jax.vmap(lambda im: tuple(build_pyramid_stacks(im, cfg)))(imgs)
+    return tuple(jax.vmap(pack_stack_channels)(s) for s in sts)
+
+
 def make_fused_pair_step(cfg: TrackingConfig):
     """Batched frame-pair step with ONE LK kernel invocation per level.
 
@@ -216,12 +237,12 @@ def make_fused_pair_step(cfg: TrackingConfig):
     from ..pallas import pallas_enabled
 
     def step(img1, img2, x, y, val):
-        pyrs1 = jax.vmap(lambda im: build_image_pyramids(im, cfg))(img1)
-        pyrs2 = jax.vmap(lambda im: build_image_pyramids(im, cfg))(img2)
         if pallas_enabled():
             return track_features_pyramid_batched(
-                pyrs1[0], pyrs1[1], pyrs1[2],
-                pyrs2[0], pyrs2[1], pyrs2[2], x, y, val, cfg)
+                _packed_stacks(img1, cfg), _packed_stacks(img2, cfg),
+                x, y, val, cfg)
+        pyrs1 = jax.vmap(lambda im: build_image_pyramids(im, cfg))(img1)
+        pyrs2 = jax.vmap(lambda im: build_image_pyramids(im, cfg))(img2)
         return jax.vmap(
             lambda p1, g1x, g1y, p2, g2x, g2y, xx, yy, vv:
             track_features_pyramid(list(p1), list(g1x), list(g1y),
@@ -254,12 +275,24 @@ def track_sequences_batched(frames, x, y, val, cfg: TrackingConfig):
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def _track_sequences_batched(frames, x, y, val, cfg: TrackingConfig,
                              use_pallas: bool):
+    if use_pallas:
+        # carry PACKED level stacks: pack once per frame, every level
+        # access in the kernel path reads the packed layout directly
+        def body(carry, t):
+            sp1, xc, yc, vc = carry
+            sp2 = _packed_stacks(frames[:, t], cfg)
+            xn, yn, vn = track_features_pyramid_batched(
+                sp1, sp2, xc, yc, vc, cfg)
+            return (sp2, xn, yn, vn), (xn, yn, vn)
+
+        sp0 = _packed_stacks(frames[:, 0], cfg)
+        (_, xf, yf, vf), tables = jax.lax.scan(
+            body, (sp0, x, y, val), jnp.arange(1, frames.shape[1]))
+        return tables
+
     vpyr = jax.vmap(lambda im: build_image_pyramids(im, cfg))
 
     def tfp(p1, p2, x, y, v):
-        if use_pallas:
-            return track_features_pyramid_batched(
-                p1[0], p1[1], p1[2], p2[0], p2[1], p2[2], x, y, v, cfg)
         return jax.vmap(
             lambda a, b, c, d, e, f, xx, yy, vv:
             track_features_pyramid(list(a), list(b), list(c), list(d),
