@@ -36,7 +36,9 @@ CPU_BASELINE_FPS = 1.0 / 0.01185  # reference: 11.85 ms / frame-pair
 # Reference CPU measured at -O2 with tools/fixtures/bench_ref.c on the
 # configs the reference never benchmarked itself:
 CPU_TRAFFIC_REPLACE_FPS = 16.15   # traffic, 500 feat, replacement
-CPU_LAPTOPS_AFFINE_FPS = 5.87     # laptops, 2000 feat, affine=2
+CPU_LAPTOPS_AFFINE_FPS = 12.37    # laptops, 2000 feat, affine=2,
+#                                   4-level/ss2 pyramid (config-matched;
+#                                   the 2-level default measured 5.87)
 DATA = "/root/reference/data"
 
 
@@ -139,17 +141,31 @@ def bench_flagship_batched(jax, jnp, klt, out):
         x = jnp.asarray(np.broadcast_to(fl.x, (b, 150)).copy())
         y = jnp.asarray(np.broadcast_to(fl.y, (b, 150)).copy())
         v = jnp.asarray(np.broadcast_to(fl.val, (b, 150)).copy())
-        r = track_sequences_batched(fb, x, y, v, cfg)
+        reps = 10
+
+        # reps folded into one device program (like bench_flagship) so
+        # the number is chip throughput, not the ~30-60 ms tunnel
+        # dispatch latency paid once per call
+        @jax.jit
+        def timed_run(fb, x, y, v):
+            def body(i, acc):
+                xs, ys, vs = track_sequences_batched(
+                    fb, x + 1e-4 * i.astype(jnp.float32), y, v, cfg)
+                return acc + xs[-1]
+            return jax.lax.fori_loop(0, reps, body, jnp.zeros_like(x))
+
+        r = timed_run(fb, x, y, v)
         jax.block_until_ready(r)
-        reps = 20
-        t0 = time.perf_counter()
-        for i in range(reps):
-            r = track_sequences_batched(fb, x + 1e-4 * i, y, v, cfg)
-        jax.block_until_ready(r)
-        dt = (time.perf_counter() - t0) / reps
-        agg = b * n_pairs / dt
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = timed_run(fb, x, y, v)
+            jax.block_until_ready(r)
+            best = min(best, (time.perf_counter() - t0) / reps)
+        agg = b * n_pairs / best
         # accuracy: batch lane 0 must match the single-stream goldens
-        vs_last = np.asarray(r[2][-1][0])
+        rt = track_sequences_batched(fb, x, y, v, cfg)
+        vs_last = np.asarray(rt[2][-1][0])
         out["flagship_batched_throughput"] = {
             "batch": b,
             "aggregate_frames_per_s": round(agg, 1),
@@ -180,7 +196,7 @@ def _table_parity(entry, xs, ys, vs, fixture, col0=1):
     oracle = read_feature_table(path)
     t_max = min(len(xs), oracle.x.shape[1] - col0)
     agree, total = 0, 0
-    drifts = []
+    drifts, drifts50 = [], []
     for t in range(t_max):
         ox = oracle.x[:, col0 + t]
         oy = oracle.y[:, col0 + t]
@@ -189,12 +205,21 @@ def _table_parity(entry, xs, ys, vs, fixture, col0=1):
         total += len(ov)
         both = (vs[t] >= 0) & (ov >= 0)
         if both.any():
-            drifts.append(np.hypot(xs[t] - ox, ys[t] - oy)[both])
+            d_t = np.hypot(xs[t] - ox, ys[t] - oy)[both]
+            drifts.append(d_t)
+            if t < 50:
+                drifts50.append(d_t)
     d = np.concatenate(drifts) if drifts else np.zeros(1)
+    d50 = np.concatenate(drifts50) if drifts50 else np.zeros(1)
     entry["status_agreement"] = round(agree / max(total, 1), 4)
     entry["drift_px_median"] = float(np.median(d))
     entry["drift_px_p99"] = float(np.percentile(d, 99))
     entry["within_half_px"] = round(float((d <= 0.5).mean()), 4)
+    # 50-step horizon: before per-feature FP/tie cascades (a divergent
+    # replacement pick or kill decision swaps the feature a slot holds,
+    # after which positions legitimately differ by whole image regions)
+    entry["within_half_px_first50"] = round(float((d50 <= 0.5).mean()), 4)
+    entry["drift_px_median_first50"] = float(np.median(d50))
 
 
 def bench_traffic_replace(jax, jnp, klt, out):
@@ -340,16 +365,46 @@ def bench_batched_3x4096(jax, jnp, klt, out):
     }
 
 
+def bench_batch_scaling(jax, jnp, klt, out):
+    """BASELINE's scaling-efficiency row: aggregate fps + batch-scaling
+    efficiency at B = 1/2/4 x n_dev on the 8-virtual-device CPU mesh
+    (multi-chip TPU hardware is not reachable from this harness, so
+    the number is FUNCTIONAL-only: it validates the sharded batch path
+    end-to-end, not ICI performance)."""
+    import json as _json
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env["KLT_FORCE_CPU"] = "1"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=8").strip()
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, "tools",
+                                          "bench_scaling.py")],
+            capture_output=True, text=True, timeout=900, env=env)
+        line = r.stdout.strip().splitlines()[-1]
+        data = _json.loads(line)
+        data["note"] = ("functional-only: 8 virtual CPU devices "
+                        "(no multi-chip TPU in this harness)")
+        out["batch_scaling"] = data
+    except Exception as e:  # pragma: no cover - environment-dependent
+        out["batch_scaling"] = {"error": str(e)[:200]}
+
+
 def bench_slam_e2e(jax, jnp, klt, out):
     """Config 5: laptops front end (device scan + in-scan replacement)
-    -> chains -> keyframes -> matrix-free Schur/CG bundle adjustment."""
+    -> chains -> keyframes -> pose graph -> matrix-free Schur/CG
+    bundle adjustment, over the FULL 1003-frame sequence.  Every stage
+    reports compile and steady-state seconds separately."""
     from klt_tpu.runtime.pipeline import track_sequence_replace
     from klt_tpu.slam import (tracks_from_table, select_keyframes,
                               BAProblem, bundle_adjust_cg)
-    from klt_tpu.slam.frontend import keyframe_pose_graph_init
+    from klt_tpu.slam.frontend import build_keyframe_pose_graph
+    from klt_tpu.slam.pose_graph import optimize_pose_graph
 
     cfg = klt.TrackingConfig(sequential_mode=True)
-    n_frames, n_feat = 200, 1000
+    n_frames, n_feat = 1003, 1000
     frames = _load(klt, "images_laptops", 1, n_frames + 1)
     fl = _seed(klt, frames[0], n_feat, cfg)
     ft = klt.FeatureTable.create(n_frames, n_feat)
@@ -397,11 +452,39 @@ def bench_slam_e2e(jax, jnp, klt, out):
     lm0[:, 1] = (v[first] - cy) / fy
     lm0[:, 2] = 1.0
     # front end -> POSE GRAPH -> BA: relative poses from tiny two-pose
-    # BAs on shared tracks, chained through the SE(3) pose graph
+    # BAs on shared tracks, chained through the SE(3) pose graph.
+    # Graph construction (host loop over pair BAs, includes the single
+    # pair-BA compile) is timed apart from graph optimization, and the
+    # optimizer is run twice so compile and steady-state are separate.
     t_pg0 = time.perf_counter()
-    R_init, t_init, pg_costs = keyframe_pose_graph_init(
-        lm_idx, cam_idx, u, v, n_pose, fx, fy, cx, cy)
-    pg_s = time.perf_counter() - t_pg0
+    pg = build_keyframe_pose_graph(lm_idx, cam_idx, u, v, n_pose,
+                                   fx, fy, cx, cy)
+    pg_build_s = time.perf_counter() - t_pg0
+    t0 = time.perf_counter()
+    R_init, t_init, pg_costs = optimize_pose_graph(pg, iterations=10)
+    jax.block_until_ready(pg_costs)
+    pg_compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    R_init, t_init, pg_costs = optimize_pose_graph(pg, iterations=10)
+    jax.block_until_ready(pg_costs)
+    pg_steady_s = time.perf_counter() - t0
+    pg_costs = np.asarray(pg_costs)
+
+    # The chained init is nearly graph-consistent by construction, so
+    # the absolute cost barely moves; to show the optimizer does real
+    # work, perturb the init and verify it recovers to the same cost.
+    import dataclasses as _dc
+    from klt_tpu.slam.geometry import so3_exp
+    rng = np.random.RandomState(0)
+    dR = so3_exp(jnp.asarray(
+        0.05 * rng.standard_normal((int(n_pose), 3)).astype(np.float32)))
+    pg_pert = _dc.replace(
+        pg, R=jnp.einsum("pij,pjk->pik", pg.R, dR),
+        t=pg.t + jnp.asarray(
+            0.05 * rng.standard_normal((int(n_pose), 3)).astype(np.float32)))
+    _, _, pert_costs = optimize_pose_graph(pg_pert, iterations=10)
+    pert_costs = np.asarray(pert_costs)
+
     prob = BAProblem(
         R=jnp.asarray(R_init),
         t=jnp.asarray(t_init),
@@ -411,21 +494,40 @@ def bench_slam_e2e(jax, jnp, klt, out):
         weight=jnp.ones(len(cam_idx), jnp.float32),
         fx=fx, fy=fy, cx=cx, cy=cy)
     t0 = time.perf_counter()
-    R, t, lm, costs = bundle_adjust_cg(prob, iterations=25)
+    R, t, lm, costs = bundle_adjust_cg(prob, iterations=50)
     jax.block_until_ready(costs)
-    ba_s = time.perf_counter() - t0
+    ba_compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    R, t, lm, costs = bundle_adjust_cg(prob, iterations=50)
+    jax.block_until_ready(costs)
+    ba_steady_s = time.perf_counter() - t0
     costs = np.asarray(costs)
+    rms = lambda i: round(float(np.sqrt(
+        costs[i] / max(len(cam_idx), 1))), 3)
     out["slam_frontend_ba"] = {
         "frontend_frames_per_s": round((n_frames - 1) / fe_s, 1),
+        "frontend_compile_plus_run_s": round(fe_compile_and_run, 2),
         "frames": n_frames, "features": n_feat,
         "keyframes": int(n_pose), "landmarks": int(n_lm),
         "observations": int(len(cam_idx)),
-        "pose_graph_seconds": round(pg_s, 2),
-        "pose_graph_cost": [round(float(pg_costs[i]), 5)
-                            for i in (0, -1)],
-        "ba_seconds": round(ba_s, 2),
-        "reproj_rms_px": [round(float(np.sqrt(
-            costs[i] / max(len(cam_idx), 1))), 3) for i in (0, -1)],
+        "pose_graph": {
+            "build_s": round(pg_build_s, 2),
+            "compile_s": round(pg_compile_s, 2),
+            "steady_s": round(pg_steady_s, 3),
+            "cost": [round(float(pg_costs[i]), 5) for i in (0, -1)],
+            "perturbed_recovery_cost": [
+                round(float(pert_costs[i]), 5) for i in (0, -1)],
+        },
+        "ba": {
+            "compile_s": round(ba_compile_s, 2),
+            "steady_s": round(ba_steady_s, 2),
+            "iterations": 50,
+            # convergence target: reproj RMS <= 2 px, else the curve
+            # below documents the dataset-limited floor (KLT drift on
+            # the laptops sequence accumulates in the tracks
+            # themselves; BA cannot go below the track noise)
+            "reproj_rms_px": [rms(0), rms(len(costs) // 2), rms(-1)],
+        },
     }
 
 
@@ -456,7 +558,8 @@ def main():
     # process's device, which must not take the other configs down
     for fn in (bench_flagship_batched, bench_traffic_replace,
                bench_batched_3x4096, bench_slam_e2e,
-               bench_laptops_affine, bench_roofline):
+               bench_batch_scaling, bench_laptops_affine,
+               bench_roofline):
         if time.perf_counter() - t_start > budget:
             extras[fn.__name__] = {"skipped": "bench time budget"}
             continue

@@ -67,21 +67,40 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
         #                      so the XLA-side reshape is free
         rs, cs = k, k * k
     L = 3 * k * k            # total patch lanes
+    # Post-shift working length: once the window is shifted to the
+    # canvas origin, blend/products/reduction trees only read a lane
+    # prefix — slicing the shifted canvas to the next 128-lane multiple
+    # cuts the per-iteration vector cost by L/L2 on everything
+    # downstream of shift_to (default geometry: 768 -> 512 lanes).
+    # Two read bounds:
+    #   * blend/products: (h+1)*rs + 2*cs + (w+1) + rs + 2 (window
+    #     extent + the B2 channel roll + the bilinear +rs+1 tap);
+    #   * the reduce_win roll tree spans NEXT-POW2(h+1) rows and
+    #     next-pow2(w+1) cols from read lane 2*cs — its taps beyond
+    #     the window are zero (m_win-masked) only if those lanes EXIST
+    #     unwrapped.  (A 576-lane slice at h=9 wrapped the s=384 roll
+    #     back onto lane 0, double-counting its own partial sum —
+    #     caught by the window-geometry fuzz matrix.)
+    _np2 = lambda v: 1 << (v - 1).bit_length()
+    _need = max((h + 1) * rs + 2 * cs + (w + 1) + rs + 2,
+                2 * cs + (_np2(h + 1) - 1) * rs + _np2(w + 1))
+    L2 = min(L, -(-_need // 128) * 128)
 
     def rollL(x, s):
-        """Static left-rotation by s lanes."""
+        """Static left-rotation by s lanes (length-parametric)."""
         if s == 0:
             return x
-        return pltpu.roll(x, L - s, 1)
+        n = x.shape[-1]
+        return pltpu.roll(x, n - s, 1)
 
     def window_oob(x, y):
         return ((x - hw < 0.0) | (ncf - (x + hw) < _EPS) |
                 (y - hh < 0.0) | (nrf - (y + hh) < _EPS))
 
-    def lane_masks():
+    def lane_masks(n=L):
         """Lane-geometry masks built in-kernel from an iota (Pallas
         forbids captured array constants): (m_win, m_c0, sign)."""
-        jl = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        jl = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
         if layout == "rc":
             lane_r = jl // rs
             rem = jl % rs
@@ -107,16 +126,16 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
                 (1 - ax) * ay * t10 + ax * ay * t11)
 
     def shift_to(x, oy, ox):
-        """Masked binary static rolls by oy*rs + ox lanes."""
+        """Masked binary static rolls by oy*rs + ox lanes.  Selection
+        via jnp.where (2 ops/step) instead of the arithmetic
+        bit*rolled + (1-bit)*x blend (4 ops/step)."""
         b = 1
         while b < n_off_x:
-            bit = ((ox & b) != 0).astype(jnp.float32)
-            x = bit * rollL(x, b) + (1.0 - bit) * x
+            x = jnp.where((ox & b) != 0, rollL(x, b), x)
             b *= 2
         b = 1
         while b < n_off_y:
-            bit = ((oy & b) != 0).astype(jnp.float32)
-            x = bit * rollL(x, b * rs) + (1.0 - bit) * x
+            x = jnp.where((oy & b) != 0, rollL(x, b * rs), x)
             b *= 2
         return x
 
@@ -142,9 +161,10 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
         a2yi = a2y.astype(jnp.int32)
         oob1 = is_ref[:, IOOB1:IOOB1 + 1] != 0
 
-        m_win, m_c0, sign = lane_masks()
+        m_win, m_c0, sign = lane_masks(L2)
 
-        b1 = blend(p1_ref[:], fs[:, FAX1:FAX1 + 1], fs[:, FAY1:FAY1 + 1])
+        b1 = blend(p1_ref[:][:, :L2],
+                   fs[:, FAX1:FAX1 + 1], fs[:, FAY1:FAY1 + 1])
         if lighting:
             r1 = reduce_win(b1 * m_c0)
             rq1 = reduce_win(b1 * b1 * m_c0)
@@ -162,7 +182,7 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
                    (oy < 0) | (oy > n_off_y - 1))
             oxc = jnp.clip(ox, 0, n_off_x - 1)
             oyc = jnp.clip(oy, 0, n_off_y - 1)
-            win = shift_to(p2, oyc, oxc)
+            win = shift_to(p2, oyc, oxc)[:, :L2]
             return blend(win, ax, ay), ovf
 
         def newton(b2):

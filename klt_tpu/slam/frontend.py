@@ -121,16 +121,13 @@ def _pair_problem(lm_idx, cam_idx, u, v, i, j, fx, fy, cx, cy,
         weight=jnp.asarray(weight), fx=fx, fy=fy, cx=cx, cy=cy), n_lm
 
 
-def keyframe_pose_graph_init(lm_idx, cam_idx, u, v, n_pose,
-                             fx, fy, cx, cy, pair_iters: int = 8,
-                             pg_iters: int = 10):
-    """Absolute keyframe poses from tracked features only.
-
-    1. tiny two-pose BA per consecutive keyframe pair (one compiled
-       program, shapes padded to the largest pair) -> relative poses;
-    2. SE(3) pose-graph optimization over the chain;
-    3. returns (R [P,3,3], t [P,3]) for the full BA to start from.
-    """
+def build_keyframe_pose_graph(lm_idx, cam_idx, u, v, n_pose,
+                              fx, fy, cx, cy, pair_iters: int = 8):
+    """Construct the keyframe SE(3) pose graph (without optimizing it):
+    tiny two-pose BA per chain/skip keyframe pair (one compiled
+    program, shapes padded to the largest pair) -> relative-pose edges,
+    chained-integration absolute poses as the initial estimate.
+    Returns a PoseGraph ready for optimize_pose_graph."""
     t_prior = ba_translation_prior(
         lm_idx, cam_idx, u, v,
         _first_obs(lm_idx), n_pose, fx, fy)
@@ -187,11 +184,25 @@ def keyframe_pose_graph_init(lm_idx, cam_idx, u, v, n_pose,
         R0.append(Rj.astype(np.float32))
         t0.append(tj.astype(np.float32))
 
-    pg = PoseGraph(
+    return PoseGraph(
         R=jnp.asarray(np.stack(R0)), t=jnp.asarray(np.stack(t0)),
         ei=jnp.asarray(ei, jnp.int32), ej=jnp.asarray(ej, jnp.int32),
         Rz=jnp.asarray(np.stack(Rz)), tz=jnp.asarray(np.stack(tz)),
         weight=jnp.ones(len(ei), jnp.float32))
+
+
+def keyframe_pose_graph_init(lm_idx, cam_idx, u, v, n_pose,
+                             fx, fy, cx, cy, pair_iters: int = 8,
+                             pg_iters: int = 10):
+    """Absolute keyframe poses from tracked features only.
+
+    1. build_keyframe_pose_graph: pairwise tiny BAs -> relative-pose
+       edges + chained initial poses;
+    2. SE(3) pose-graph optimization over chain + skip edges;
+    3. returns (R [P,3,3], t [P,3]) for the full BA to start from.
+    """
+    pg = build_keyframe_pose_graph(lm_idx, cam_idx, u, v, n_pose,
+                                   fx, fy, cx, cy, pair_iters)
     R, t, costs = optimize_pose_graph(pg, iterations=pg_iters)
     return np.asarray(R), np.asarray(t), np.asarray(costs)
 

@@ -88,6 +88,12 @@ def run_scaling(per_dev_batches=(1, 2, 4), reps=None, emit=print):
 
 
 def main():
+    if os.environ.get("KLT_FORCE_CPU") == "1":
+        # the axon sitecustomize force-registers the TPU platform and
+        # ignores JAX_PLATFORMS; override back to the virtual CPU mesh
+        # (set XLA_FLAGS=--xla_force_host_platform_device_count=8)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     out = run_scaling()
     print(json.dumps(out))
 

@@ -29,6 +29,8 @@ int main(int argc, char **argv)
   int replace = argc > 5 ? atoi(argv[5]) : 0;
   int first = argc > 6 ? atoi(argv[6]) : 1;
   const char *table_out = argc > 7 ? argv[7] : NULL;
+  int pyr_levels = argc > 8 ? atoi(argv[8]) : 0;   /* 0 = keep default */
+  int subsampling = argc > 9 ? atoi(argv[9]) : 0;
   char path[512];
   int ncols, nrows, i;
   unsigned char *img1, *img2, *fr;
@@ -39,6 +41,13 @@ int main(int argc, char **argv)
   KLTSetVerbosity(0);
   tc->sequentialMode = TRUE;
   tc->affineConsistencyCheck = affine;
+  if (pyr_levels > 0 && subsampling > 0) {
+    /* mirror KLTChangeTCPyramid's direct field writes for an explicit
+     * (levels, subsampling) pair, then rederive the border */
+    tc->nPyramidLevels = pyr_levels;
+    tc->subsampling = subsampling;
+    KLTUpdateTCBorder(tc);
+  }
   if (table_out)
     ft = KLTCreateFeatureTable(n_frames, n_feat);
 

@@ -24,6 +24,6 @@ mkdir -p "$REPO/tests/fixtures"
 echo "traffic 500 feat + replacement, 551 frames (a few minutes)..."
 ./bench_ref /root/reference/data/images_traffic 500 551 0 1 1 \
     "$REPO/tests/fixtures/table_traffic_500r.ft"
-echo "laptops 2000 feat affine, 60 frames..."
+echo "laptops 2000 feat affine, 60 frames (4-level/ss2 pyramid)..."
 ./bench_ref /root/reference/data/images_laptops 2000 60 2 0 1 \
-    "$REPO/tests/fixtures/table_laptops_2000aff.ft"
+    "$REPO/tests/fixtures/table_laptops_2000aff.ft" 4 2
