@@ -319,6 +319,8 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
         else:
             p1w = extract_flat(sp1, y10, x10, h + 1, w + 1, k)
 
+    o1_zero = jnp.zeros((x2.shape[0], 2), jnp.int32) if use_v2 else None
+
     def round_once(x2c, y2c, status, iters, done, p2=None):
         py0, px0 = anchors(x2c, y2c)
         if p2 is None:
@@ -327,8 +329,10 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
             [col(x2c), col(y2c), ax1c, ay1c,
              col(px0.astype(jnp.float32)), col(py0.astype(jnp.float32))],
             axis=1)
-        istate = jnp.concatenate(
-            [col(status), col(iters), col(done), oob1_i], axis=1)
+        icols = [col(status), col(iters), col(done), oob1_i]
+        if use_v2:  # v2 adds the p1-canvas window offset (0 here)
+            icols.append(o1_zero)
+        istate = jnp.concatenate(icols, axis=1)
         fout, iout, resn = inner(p1w, p2, fstate, istate,
                                  cfg, k, nc, nr)
         return (fout[:, 0], fout[:, 1], iout[:, 0], iout[:, 1],

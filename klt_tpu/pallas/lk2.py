@@ -43,7 +43,13 @@ _EPS = np.float32(1.001)  # reference: src/V1/trackFeatures.c:409
 
 # packed f32 state columns (same as v1)
 FX2, FY2, FAX1, FAY1, FA2X, FA2Y = range(6)
-ISTATUS, IITERS, IDONE, IOOB1 = range(4)
+# int state: v2 adds the first-image window offset (IO1Y, IO1X) inside
+# the p1 canvas — 0 for a window-at-origin extraction (the classic
+# path), or the in-canvas position when the caller re-uses the
+# previous step's p2 canvas as this step's p1 (sequential-mode carry:
+# stack2(t-1) IS stack1(t), so the last re-anchor round's canvas
+# already holds the first-image window bit-exactly)
+ISTATUS, IITERS, IDONE, IOOB1, IO1Y, IO1X = range(6)
 
 
 def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
@@ -163,7 +169,9 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
 
         m_win, m_c0, sign = lane_masks(L2)
 
-        b1 = blend(p1_ref[:][:, :L2],
+        o1y = jnp.clip(is_ref[:, IO1Y:IO1Y + 1], 0, n_off_y - 1)
+        o1x = jnp.clip(is_ref[:, IO1X:IO1X + 1], 0, n_off_x - 1)
+        b1 = blend(shift_to(p1_ref[:], o1y, o1x)[:, :L2],
                    fs[:, FAX1:FAX1 + 1], fs[:, FAY1:FAY1 + 1])
         if lighting:
             r1 = reduce_win(b1 * m_c0)
@@ -203,14 +211,29 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
                 C = b1 + b2 * sign  # [diff | gradx sum | grady sum]
             B = rollL(C, cs)
             B2 = rollL(C, 2 * cs)
-            R_ab = reduce_win(C * B * m_win)
-            R_aa = reduce_win(C * C * m_win)
-            R_ab2 = reduce_win(C * B2 * m_win)
-            ex = R_ab[:, 0:1] * step          # diff * gradx
-            gxy = R_ab[:, cs:cs + 1]          # gradx * grady
-            gxx = R_aa[:, cs:cs + 1]
-            gyy = R_aa[:, 2 * cs:2 * cs + 1]
-            ey = R_ab2[:, 0:1] * step         # diff * grady
+            # Five window sums packed into TWO reduction trees (each
+            # tree yields one sum per channel slot): slot-select the
+            # products so
+            #   A1 = [diff*gx | gx*gy | gy*gy],
+            #   A2 = [diff*gy | gx*gx |   --  ]
+            # — 2 trees instead of 3 (the trees are the per-iteration
+            # vector-cost floor of the kernel).
+            CB = C * B
+            CC = C * C
+            jl = jax.lax.broadcasted_iota(jnp.int32, (1, L2), 1)
+            if layout == "rc":
+                lc = (jl % rs) // cs
+            else:
+                lc = jl // cs
+            A1 = jnp.where(lc == 2, CC, CB) * m_win
+            A2 = jnp.where(lc == 1, CC, C * B2) * m_win
+            R1 = reduce_win(A1)
+            R2 = reduce_win(A2)
+            ex = R1[:, 0:1] * step            # diff * gradx
+            gxy = R1[:, cs:cs + 1]            # gradx * grady
+            gyy = R1[:, 2 * cs:2 * cs + 1]    # grady * grady
+            ey = R2[:, 0:1] * step            # diff * grady
+            gxx = R2[:, cs:cs + 1]            # gradx * gradx
             det = gxx * gyy - gxy * gxy
             small = det < min_det
             det_safe = jnp.where(small, jnp.float32(1.0), det)
@@ -303,7 +326,7 @@ def _inner_call(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[bspec(L), bspec(L), bspec(6), bspec(4)],
+        in_specs=[bspec(L), bspec(L), bspec(6), bspec(6)],
         out_specs=[bspec(2), bspec(4), bspec(1)],
         out_shape=[jax.ShapeDtypeStruct((f, 2), jnp.float32),
                    jax.ShapeDtypeStruct((f, 4), jnp.int32),
@@ -317,17 +340,26 @@ def _inner_call(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
 def lk_level_inner_flat(p1, p2, fstate, istate, cfg: TrackingConfig,
                         k: int, nc: int, nr: int, layout: str = "rc"):
     """v2 entry: p1, p2 are [F, 3*k*k] flattened-lane patches sharing
-    the SAME canvas geometry (p1 holds the (h+1) x (w+1) raw first-
-    image window in rows 0..h / cols 0..w of each channel block).
+    the SAME canvas geometry.  p1 holds the (h+1) x (w+1) first-image
+    window at canvas offset (istate[:, IO1Y], istate[:, IO1X]) — (0, 0)
+    for a plain extraction, or the carried-canvas position.
 
     Returns ([F, 2] f32, [F, 4] i32, [F, 1] f32) like v1."""
     f = p2.shape[0]
-    fb = f if f <= FEATURE_BLOCK else FEATURE_BLOCK
+    if f <= FEATURE_BLOCK:
+        fb = f
+    else:
+        # smallest even block split <= FEATURE_BLOCK (8-aligned): e.g.
+        # f=2400 -> 5 blocks of 480 with NO padding, where a fixed 512
+        # block would pad to 2560 (~30 us/step of pure pad copies)
+        f8 = -(-f // 8) * 8
+        nblocks = -(-f8 // FEATURE_BLOCK)
+        fb = -(-f8 // nblocks // 8) * 8
     pad = (-f) % fb
     if pad:
         zf = lambda a: jnp.pad(a, ((0, pad), (0, 0)))
         p1, p2, fstate = zf(p1), zf(p2), zf(fstate)
-        ipad = jnp.zeros((pad, 4), jnp.int32).at[:, IDONE].set(1)
+        ipad = jnp.zeros((pad, 6), jnp.int32).at[:, IDONE].set(1)
         istate = jnp.concatenate([istate, ipad])
     call = _inner_call(cfg, k, nc, nr, f + pad, fb, layout)
     fout, iout, res = call(p1, p2, fstate, istate)

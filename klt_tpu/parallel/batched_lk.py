@@ -24,12 +24,26 @@ from ..ops.pyramid import build_image_pyramids
 
 
 def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
-                                cfg: TrackingConfig):
+                                cfg: TrackingConfig, carry_in=None,
+                                want_carry=False):
     """Batched variant of ops.lk._track_level_kernel.
 
     sp1/sp2: channel-PACKED stacks [B, H, 3W] (pack_stack_channels);
     coordinate/mask arrays [B, F].  One Pallas kernel invocation tracks
     all B*F features.
+
+    Sequential-mode canvas carry (level 0 of the scan): `carry_in` is
+    (canvas [B*F, 3k^2], qy0 [B*F], qx0 [B*F]) — the previous step's
+    LAST re-anchor-round p2 canvas and anchors.  Because stack2(t-1) is
+    stack1(t) and the kernel's non-stall invariant keeps the final
+    position inside its canvas, the first-image window for this step
+    already sits inside that canvas bit-exactly; the kernel samples it
+    at offset (y10 - qy0, x10 - qx0) instead of paying a fresh one-hot
+    image extraction.  Validity is all-or-nothing per step (border
+    clips or a max-round stall on ANY active lane fall back to the
+    extraction via lax.cond).  With `want_carry`, returns
+    ((x2, y2, status, iters), carry_out) where carry_out is this
+    step's last-round (canvas, qy0, qx0).
     """
     import os
     from ..pallas.lk import lk_level_inner
@@ -64,13 +78,32 @@ def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
         from ..ops.interp import extract_flat, extract_flat_rows, \
             _ROWS_MIN_F
         inner = lk2.lk_level_inner_flat
+        L = 3 * k * k
         # formulation choice is by TOTAL feature count B*F (each vmap
         # lane only sees F, but the einsums batch over B)
         exfn = extract_flat_rows if n >= _ROWS_MIN_F else extract_flat
         exf = jax.vmap(exfn, in_axes=(0, 0, 0, None, None, None))
-        p1w = exf(sp1, y10, x10, h + 1, w + 1, k).reshape(n, 3 * k * k)
+
+        def extract_p1():
+            return exf(sp1, y10, x10, h + 1, w + 1, k).reshape(n, L)
+
+        o1_zero = jnp.zeros((n, 2), jnp.int32)
+        if carry_in is None:
+            p1w = extract_p1()
+            o1_cols = o1_zero
+        else:
+            cv, qy0p, qx0p = carry_in
+            o1y = flat(y10) - qy0p
+            o1x = flat(x10) - qx0p
+            ok = ((o1y >= 0) & (o1y <= k - (h + 1)) &
+                  (o1x >= 0) & (o1x <= k - (w + 1)))
+            all_ok = jnp.all(ok | ~active.reshape(n))
+            p1w, o1_cols = jax.lax.cond(
+                all_ok,
+                lambda: (cv, jnp.stack([o1y, o1x], axis=1)),
+                lambda: (extract_p1(), o1_zero))
         extract2 = lambda py0, px0: exf(sp2, py0, px0, k, k,
-                                        k).reshape(n, 3 * k * k)
+                                        k).reshape(n, L)
     else:
         inner = lk_level_inner
         extract = jax.vmap(extract_packed_cb,
@@ -79,6 +112,9 @@ def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
             n, h + 1, 3 * (w + 1))
         extract2 = lambda py0, px0: extract(sp2, py0, px0, k,
                                             k).reshape(n, k, 3 * k)
+        o1_cols = None
+        if want_carry:
+            raise ValueError("canvas carry requires the v2 kernel")
     oob1_i = col(_window_oob(x1f, y1f, hw, hh, ncf, nrf).astype(jnp.int32))
 
     def anchors(x2c, y2c):
@@ -98,24 +134,26 @@ def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
             [col(x2c), col(y2c), ax1c, ay1c,
              col(px0.astype(jnp.float32)), col(py0.astype(jnp.float32))],
             axis=1)
-        istate = jnp.concatenate(
-            [col(status), col(iters), col(done), oob1_i], axis=1)
+        icols = [col(status), col(iters), col(done), oob1_i]
+        if use_v2:
+            icols.append(o1_cols)
+        istate = jnp.concatenate(icols, axis=1)
         fout, iout, resn = inner(p1w, p2, fstate, istate,
                                  cfg, k, nc, nr)
         return (fout[:, 0], fout[:, 1], iout[:, 0], iout[:, 1],
-                iout[:, 2], resn)
+                iout[:, 2], resn, p2, flat(py0), flat(px0))
 
     # straight-line re-anchor rounds (see ops.lk: the same body inside
     # lax.while_loop measures far slower; extra rounds are
     # deterministic no-ops for converged lanes)
-    x2c, y2c, status, iters, done, residue = round_once(
-        x2f0, y2f0, status0, iters0, done0)
+    (x2c, y2c, status, iters, done, residue, p2l, py0l,
+     px0l) = round_once(x2f0, y2f0, status0, iters0, done0)
     for _ in range(cfg.reanchor_unroll):
-        x2c, y2c, status, iters, done, residue = round_once(
-            x2c, y2c, status, iters, done)
+        (x2c, y2c, status, iters, done, residue, p2l, py0l,
+         px0l) = round_once(x2c, y2c, status, iters, done)
 
     def outer(state):
-        rounds, x2c, y2c, status, iters, done, _ = state
+        rounds, x2c, y2c, status, iters, done = state[:6]
         out = round_once(x2c, y2c, status, iters, done)
         return (rounds + 1,) + out
 
@@ -123,9 +161,11 @@ def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
         rounds, done = state[0], state[5]
         return jnp.any(done == 0) & (rounds < cfg.max_iterations + 1)
 
-    _, x2c, y2c, status, iters, _, residue = jax.lax.while_loop(
+    (_, x2c, y2c, status, iters, _, residue, p2l, py0l,
+     px0l) = jax.lax.while_loop(
         outer_going, outer,
-        (jnp.int32(0), x2c, y2c, status, iters, done, residue))
+        (jnp.int32(0), x2c, y2c, status, iters, done, residue,
+         p2l, py0l, px0l))
 
     status = _final_status(status, iters, x2c, y2c, residue[:, 0],
                            hw, hh, ncf, nrf, cfg)
@@ -133,8 +173,11 @@ def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
     x2c = jnp.where(act, x2c, x2f0)
     y2c = jnp.where(act, y2c, y2f0)
     status = jnp.where(act, status, TRACKED)
-    return (x2c.reshape(b, f), y2c.reshape(b, f),
-            status.reshape(b, f), iters.reshape(b, f))
+    out = (x2c.reshape(b, f), y2c.reshape(b, f),
+           status.reshape(b, f), iters.reshape(b, f))
+    if want_carry:
+        return out, (p2l, py0l, px0l)
+    return out
 
 
 def _unpack_stack(sp):
@@ -144,8 +187,26 @@ def _unpack_stack(sp):
     return sp.reshape(b, h, 3, w).transpose(0, 2, 1, 3)
 
 
+def carry_eligible(nr: int, nc: int, cfg: TrackingConfig) -> bool:
+    """STATIC predicate: level-0 canvas carry is available iff the
+    batched v2 kernel path handles this level (mirrors the dispatch in
+    _track_level_batched + the v2 check in _track_level_kernel_batched)."""
+    import os
+    from ..pallas import pallas_enabled
+    from ..pallas import lk2
+    w, h = cfg.window_width, cfg.window_height
+    if nr < h + 1 or nc < w + 1:
+        return False
+    k = _kernel_patch_size(nr, nc, cfg)
+    return (pallas_enabled() and min(nr, nc) >= k
+            and max(h, w) + 3 <= k
+            and os.environ.get("KLT_TPU_LK_V1", "0") != "1"
+            and lk2.supported(cfg, k))
+
+
 def _track_level_batched(sp1, sp2, x1, y1, x2, y2, active,
-                         cfg: TrackingConfig):
+                         cfg: TrackingConfig, carry_in=None,
+                         want_carry=False):
     """Batched track_level with ops.lk.track_level's static shape
     dispatch: a level smaller than the tracking window is all-OOB, and
     a level smaller than the kernel patch falls back to the per-sequence
@@ -153,7 +214,9 @@ def _track_level_batched(sp1, sp2, x1, y1, x2, y2, active,
     on degenerate pyramid shapes (e.g. 48x48 frames).
 
     sp1/sp2: channel-packed [B, H, 3W] level stacks — the layout the
-    kernel path consumes directly (the fallback unpacks)."""
+    kernel path consumes directly (the fallback unpacks).  carry_in /
+    want_carry: see _track_level_kernel_batched (callers must gate on
+    carry_eligible)."""
     w, h = cfg.window_width, cfg.window_height
     nr, nc = sp1.shape[-2], sp1.shape[-1] // 3
     if nr < h + 1 or nc < w + 1:
@@ -163,7 +226,10 @@ def _track_level_batched(sp1, sp2, x1, y1, x2, y2, active,
     k = _kernel_patch_size(nr, nc, cfg)
     if (pallas_enabled() and min(nr, nc) >= k and max(h, w) + 3 <= k):
         return _track_level_kernel_batched(sp1, sp2, x1, y1,
-                                           x2, y2, active, cfg)
+                                           x2, y2, active, cfg,
+                                           carry_in=carry_in,
+                                           want_carry=want_carry)
+    assert not want_carry, "carry requires the kernel path"
     return jax.vmap(
         lambda s1, s2, a, b, c, d, m:
         _track_level_gather(s1, s2, a, b, c, d, m, cfg)
@@ -172,10 +238,32 @@ def _track_level_batched(sp1, sp2, x1, y1, x2, y2, active,
 
 def track_features_pyramid_batched(sps1, sps2, x, y, val,
                                    cfg: TrackingConfig):
+    """Batched coarse-to-fine driver (no canvas carry); see
+    track_features_pyramid_batched_carry."""
+    out = track_features_pyramid_batched_carry(sps1, sps2, x, y, val,
+                                               cfg, carries=None,
+                                               want_carry=False)
+    return out[:3]
+
+
+def track_features_pyramid_batched_carry(sps1, sps2, x, y, val,
+                                         cfg: TrackingConfig,
+                                         carries=None,
+                                         want_carry=False):
     """Batched coarse-to-fine driver: sps1/sps2 are finest-first lists
     of channel-PACKED [B, H_l, 3*W_l] level stacks (what the scan
     carries — packing happens once per frame, not per level access);
     x, y f32 [B, F]; val i32 [B, F].
+
+    carries/want_carry plumb the per-level canvas carries
+    (sequential-mode p1 extraction reuse) through to the level kernel:
+    a tuple with one (canvas, qy0, qx0) triple per carry_eligible
+    level, finest-first.  The per-step validity check is what makes
+    coarser levels safe too — their start positions shift by the
+    finer-level refinement of the previous step, which usually stays
+    inside the canvas margin and otherwise falls back to extraction.
+    Returns (x, y, val, carries_out) with carries_out None unless
+    want_carry.
 
     Mirrors ops.lk.track_features_pyramid's classification exactly."""
     s = np.float32(cfg.subsampling)
@@ -192,6 +280,17 @@ def track_features_pyramid_batched(sps1, sps2, x, y, val,
     aborted = jnp.zeros_like(alive)
     last_status = jnp.full(x.shape, TRACKED, jnp.int32)
 
+    elig = [carry_eligible(sp.shape[-2], sp.shape[-1] // 3, cfg)
+            for sp in sps1]
+    use_carry = want_carry or carries is not None
+    # carries tuple holds one triple per eligible level, finest-first
+    slot = {}
+    j = 0
+    for r in range(nlev):
+        if elig[r]:
+            slot[r] = j
+            j += 1
+    carries_out = [None] * j
     for r in range(nlev - 1, -1, -1):
         in_loop = alive & ~aborted
         xloc = jnp.where(in_loop, xloc * s, xloc)
@@ -199,8 +298,15 @@ def track_features_pyramid_batched(sps1, sps2, x, y, val,
         xout = jnp.where(in_loop, xout * s, xout)
         yout = jnp.where(in_loop, yout * s, yout)
 
-        x2, y2, st, _ = _track_level_batched(
-            sps1[r], sps2[r], xloc, yloc, xout, yout, in_loop, cfg)
+        if use_carry and elig[r]:
+            cin = carries[slot[r]] if carries is not None else None
+            (x2, y2, st, _), cout = _track_level_batched(
+                sps1[r], sps2[r], xloc, yloc, xout, yout, in_loop,
+                cfg, carry_in=cin, want_carry=True)
+            carries_out[slot[r]] = cout
+        else:
+            x2, y2, st, _ = _track_level_batched(
+                sps1[r], sps2[r], xloc, yloc, xout, yout, in_loop, cfg)
 
         xout = jnp.where(in_loop, x2, xout)
         yout = jnp.where(in_loop, y2, yout)
@@ -217,12 +323,18 @@ def track_features_pyramid_batched(sps1, sps2, x, y, val,
     x_new = jnp.where(alive, jnp.where(lost, jnp.float32(-1.0), xout), x)
     y_new = jnp.where(alive, jnp.where(lost, jnp.float32(-1.0), yout), y)
     val_new = jnp.where(alive, final, val)
-    return x_new, y_new, val_new
+    return x_new, y_new, val_new, (tuple(carries_out)
+                                   if want_carry else None)
 
 
 def _packed_stacks(imgs, cfg: TrackingConfig):
     """uint8 frames [B, H, W] -> finest-first tuple of channel-packed
-    [B, H_l, 3*W_l] level stacks (ONE pack per level per frame)."""
+    [B, H_l, 3*W_l] level stacks (ONE pack per level per frame).
+
+    MEASURED NEGATIVE RESULT: emitting the packed layout directly from
+    the fused pyramid kernel (in-kernel lane concat at non-128-aligned
+    W) ran 2552 vs 2484 us/step at B=16 — the Mosaic concat relayout
+    costs more than the XLA-side pack it replaces.  Keep the XLA pack."""
     from ..ops.pyramid import build_pyramid_stacks
     sts = jax.vmap(lambda im: tuple(build_pyramid_stacks(im, cfg)))(imgs)
     return tuple(jax.vmap(pack_stack_channels)(s) for s in sts)
@@ -277,7 +389,38 @@ def _track_sequences_batched(frames, x, y, val, cfg: TrackingConfig,
                              use_pallas: bool):
     if use_pallas:
         # carry PACKED level stacks: pack once per frame, every level
-        # access in the kernel path reads the packed layout directly
+        # access in the kernel path reads the packed layout directly.
+        # When the level-0 kernel path is eligible, also carry the
+        # last-round p2 canvas + anchors so the next step's p1 window
+        # extraction is a free in-canvas shift (all-or-nothing per
+        # step; invalid steps fall back to the extraction in-graph).
+        sp0 = _packed_stacks(frames[:, 0], cfg)
+        n = x.shape[0] * x.shape[1]
+        c0 = []
+        for sp in sp0:
+            nr_l, nc_l = sp.shape[-2], sp.shape[-1] // 3
+            if carry_eligible(nr_l, nc_l, cfg):
+                k_l = _kernel_patch_size(nr_l, nc_l, cfg)
+                # anchors far out of range => first step extracts
+                c0.append((jnp.zeros((n, 3 * k_l * k_l), jnp.float32),
+                           jnp.full((n,), jnp.int32(-(10 ** 6))),
+                           jnp.full((n,), jnp.int32(-(10 ** 6)))))
+        if c0:
+            c0 = tuple(c0)
+
+            def body(carry, t):
+                sp1, cc, xc, yc, vc = carry
+                sp2 = _packed_stacks(frames[:, t], cfg)
+                xn, yn, vn, cn = track_features_pyramid_batched_carry(
+                    sp1, sp2, xc, yc, vc, cfg, carries=cc,
+                    want_carry=True)
+                return (sp2, cn, xn, yn, vn), (xn, yn, vn)
+
+            (_, _, xf, yf, vf), tables = jax.lax.scan(
+                body, (sp0, c0, x, y, val),
+                jnp.arange(1, frames.shape[1]))
+            return tables
+
         def body(carry, t):
             sp1, xc, yc, vc = carry
             sp2 = _packed_stacks(frames[:, t], cfg)
@@ -285,7 +428,6 @@ def _track_sequences_batched(frames, x, y, val, cfg: TrackingConfig,
                 sp1, sp2, xc, yc, vc, cfg)
             return (sp2, xn, yn, vn), (xn, yn, vn)
 
-        sp0 = _packed_stacks(frames[:, 0], cfg)
         (_, xf, yf, vf), tables = jax.lax.scan(
             body, (sp0, x, y, val), jnp.arange(1, frames.shape[1]))
         return tables

@@ -172,6 +172,22 @@ def main():
     t_it1 = timed(make_full(cfg1), fb, x0, y0, v0) / (reps * n_pairs)
     print(f"full step @max_iter=1    : {t_it1*1e6:9.1f} us/step "
           f"(iteration cost ~ {(t_all-t_it1)*1e6:7.1f} us)")
+
+    # the REAL sequences entry point (includes the level-0 canvas
+    # carry when eligible) — this is what bench.py measures
+    from klt_tpu.parallel.batched_lk import track_sequences_batched
+
+    @jax.jit
+    def prog_seq(fb, x, y, v):
+        def body(i, acc):
+            xs, ys, vs = track_sequences_batched(
+                fb, x + 1e-4 * i.astype(jnp.float32), y, v, cfg)
+            return acc + xs[-1]
+        return jax.lax.fori_loop(0, reps, body, jnp.zeros_like(x))
+
+    t_seq = timed(prog_seq, fb, x0, y0, v0) / (reps * n_pairs)
+    print(f"track_sequences_batched  : {t_seq*1e6:9.1f} us/step "
+          f"-> aggregate {b/t_seq:8.1f} fps")
     print(f"device: {jax.devices()[0]}")
 
 
