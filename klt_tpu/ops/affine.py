@@ -47,6 +47,12 @@ _RESIDENT = 48     # per-feature resident image patch side (gather-free
 #                    warped sampling; margin ~16 px beyond the affine
 #                    window covers any surviving feature's warp + drift)
 _HI = jax.lax.Precision.HIGHEST
+# Warped-window sampling runs at HIGH (3-pass): the weighted-selection
+# einsums are the affine stage's dominant cost (two [N, K, P] einsums
+# per Gauss-Newton iteration), and the 2^-14-relative rounding this
+# admits is two orders of magnitude below the 0.5 px contract.  The
+# normal-equation/solve path stays HIGHEST.
+_SAMPLE_PREC = jax.lax.Precision.HIGH
 
 
 def _bilinear_weights(u, v, ph, pw):
@@ -78,9 +84,9 @@ def _sample_in_patch(patch, u, v):
     the sample is two HIGHEST-precision einsums on the MXU."""
     n, ph, pw = patch.shape
     wy, wx = _bilinear_weights(u, v, ph, pw)
-    tmp = jnp.einsum("nki,nij->nkj", wy, patch, precision=_HI,
+    tmp = jnp.einsum("nki,nij->nkj", wy, patch, precision=_SAMPLE_PREC,
                      preferred_element_type=jnp.float32)
-    return jnp.einsum("nkj,nkj->nk", tmp, wx, precision=_HI,
+    return jnp.einsum("nkj,nkj->nk", tmp, wx, precision=_SAMPLE_PREC,
                       preferred_element_type=jnp.float32)
 
 
@@ -99,13 +105,13 @@ def _sample_in_patch3(packed, u, v, pres):
     shared weight build + one row einsum for all three channels.
     Returns (img, gx, gy) samples, each [N, K]."""
     wy, wx = _bilinear_weights(u, v, pres, pres)
-    tmp = jnp.einsum("nki,nij->nkj", wy, packed, precision=_HI,
+    tmp = jnp.einsum("nki,nij->nkj", wy, packed, precision=_SAMPLE_PREC,
                      preferred_element_type=jnp.float32)  # [N, K, 3P]
     outs = []
     for c in range(3):
         outs.append(jnp.einsum(
             "nkj,nkj->nk", tmp[:, :, c * pres:(c + 1) * pres], wx,
-            precision=_HI, preferred_element_type=jnp.float32))
+            precision=_SAMPLE_PREC, preferred_element_type=jnp.float32))
     return outs
 
 
@@ -355,8 +361,22 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
 
     status0 = jnp.full(x2_in.shape, TRACKED, jnp.int32)
     init = (x2_in, y2_in, axx0, ayx0, axy0, ayy0, status0, ~active)
-    x2, y2, axx, ayx, axy, ayy, status, _ = jax.lax.fori_loop(
-        0, cfg.affine_max_iterations, body, init)
+
+    # Early-exit while: the body is a masked no-op for converged /
+    # killed lanes, so stopping when ALL lanes are done is exactly the
+    # fixed-trip loop's result — and real sequences converge in a few
+    # iterations, not affine_max_iterations (each iteration costs two
+    # [N, K, P] sampling einsums; round-3 trace: ~1 ms/iteration at
+    # N=2000).
+    def w_cond(state):
+        return jnp.any(~state[8]) & (state[0] <
+                                     cfg.affine_max_iterations)
+
+    def w_body(state):
+        return (state[0] + 1,) + body(state[0], state[1:])
+
+    out = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0),) + init)
+    x2, y2, axx, ayx, axy, ayy, status, _ = out[1:]
 
     # Post-loop checks (src/V1/trackFeatures.c:1185-1208).
     final_oob = ((x2 - hw < 0.0) | (nc2f - (x2 + hw) < _EPS) |

@@ -263,8 +263,7 @@ def extract_packed_cb(stack_packed: jax.Array, y0: jax.Array,
     prec = jax.lax.Precision.HIGH
     h, cw = stack_packed.shape
     w_img = cw // c
-    band, rem = _band_select(stack_packed, y0, ny)
-
+    f = y0.shape[0]
     # block-diagonal column one-hot: lane j of the output reads lane
     # (j // nx) * W + x0 + (j % nx) of the packed row
     j = jnp.arange(c * nx, dtype=jnp.int32)
@@ -272,6 +271,21 @@ def extract_packed_cb(stack_packed: jax.Array, y0: jax.Array,
     wp = jnp.arange(cw, dtype=jnp.int32)
     col_oh = ((x0[:, None, None] + target[None, None, :]) ==
               wp[None, :, None]).astype(jnp.float32)      # [F, C*W, C*nx]
+    if f >= _ROWS_MIN_F:
+        # exact-row band: no 8-row blocks, no realign (the blocked
+        # band materialization + 3-step realign dominate as relayout
+        # traffic at large F — same finding as extract_flat_rows;
+        # round-3 affine trace: realign 3.7 ms/pair at F=2000, ny=48)
+        rows = (y0[:, None] +
+                jnp.arange(ny, dtype=jnp.int32)[None, :]).reshape(-1)
+        hi = jnp.arange(h, dtype=jnp.int32)
+        row_oh = (rows[:, None] == hi[None, :]).astype(jnp.float32)
+        band = jnp.dot(row_oh, stack_packed, precision=prec,
+                       preferred_element_type=jnp.float32)
+        band = band.reshape(f, ny, cw)
+        return jnp.einsum("frw,fwj->frj", band, col_oh, precision=prec,
+                          preferred_element_type=jnp.float32)
+    band, rem = _band_select(stack_packed, y0, ny)
     sel = jnp.einsum("frw,fwj->frj", band, col_oh, precision=prec,
                      preferred_element_type=jnp.float32)  # [F, 24, C*nx]
     return _realign_rows(sel, rem, ny)

@@ -210,11 +210,38 @@ def _pack_patches(p):
     return p.transpose(0, 2, 1, 3).reshape(f, ny, c * nx)
 
 
+def level_carry_eligible(nr: int, nc: int, cfg: TrackingConfig) -> bool:
+    """STATIC predicate: the sequential canvas carry is available for a
+    level iff track_level takes the v2 one-hot kernel path there."""
+    import os
+    from ..pallas import pallas_enabled
+    from ..pallas import lk2
+    w, h = cfg.window_width, cfg.window_height
+    if nr < h + 1 or nc < w + 1 or min(nr, nc) < max(h, w) + 2:
+        return False
+    k = _kernel_patch_size(nr, nc, cfg)
+    return (pallas_enabled() and min(nr, nc) >= k
+            and max(h, w) + 3 <= k
+            and os.environ.get("KLT_TPU_LK_V1", "0") != "1"
+            and os.environ.get("KLT_TPU_EXTRACT", "onehot") == "onehot"
+            and os.environ.get("KLT_TPU_MERGED_EXTRACT", "0") != "1"
+            and lk2.supported(cfg, k))
+
+
 def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
-                        cfg: TrackingConfig):
+                        cfg: TrackingConfig, carry_in=None,
+                        want_carry=False, stale=None):
     """track_level with the whole Newton loop in one Pallas kernel per
     anchor round (klt_tpu/pallas/lk.py).  Semantics mirror the fast
-    path below; the outer re-anchor loop stays in XLA."""
+    path below; the outer re-anchor loop stays in XLA.
+
+    carry_in/want_carry: sequential-mode canvas carry (see
+    parallel/batched_lk._track_level_kernel_batched — same contract):
+    carry_in = (canvas [F, 3k^2], qy0 [F], qx0 [F]) from the previous
+    step's last re-anchor round; `stale` bool [F] marks features whose
+    carried canvas must not be trusted (freshly replaced/selected —
+    their slot held a different feature when the canvas was written).
+    """
     import os
     from ..pallas.lk import lk_level_inner
     from .interp import (pack_stack_channels, extract_packed_cb,
@@ -298,7 +325,13 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
     oob1_i = col(oob1.astype(jnp.int32))
     ax1c, ay1c = col(ax1), col(ay1)
 
+    o1_zero = jnp.zeros((x2.shape[0], 2), jnp.int32) if use_v2 else None
+    if want_carry or carry_in is not None:
+        assert use_v2 and p1w is None and \
+            os.environ.get("KLT_TPU_MERGED_EXTRACT", "0") != "1", \
+            "canvas carry requires the v2 one-hot kernel path"
     p2_first = None
+    o1_cols = o1_zero
     if p1w is None:
         # v2 one-hot path: p1w pending.  Optionally MERGE the
         # first-image window extraction with the first round's p2 into
@@ -316,10 +349,22 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
                 jnp.concatenate([x10, px0_0]), k, k, k)
             p1w = cat[:n]
             p2_first = cat[n:]
+        elif carry_in is not None:
+            cv, qy0p, qx0p = carry_in
+            o1y = y10 - qy0p
+            o1x = x10 - qx0p
+            ok = ((o1y >= 0) & (o1y <= k - (h + 1)) &
+                  (o1x >= 0) & (o1x <= k - (w + 1)))
+            if stale is not None:
+                ok = ok & ~stale
+            all_ok = jnp.all(ok | ~active)
+            p1w, o1_cols = jax.lax.cond(
+                all_ok,
+                lambda: (cv, jnp.stack([o1y, o1x], axis=1)),
+                lambda: (extract_flat(sp1, y10, x10, h + 1, w + 1, k),
+                         o1_zero))
         else:
             p1w = extract_flat(sp1, y10, x10, h + 1, w + 1, k)
-
-    o1_zero = jnp.zeros((x2.shape[0], 2), jnp.int32) if use_v2 else None
 
     def round_once(x2c, y2c, status, iters, done, p2=None):
         py0, px0 = anchors(x2c, y2c)
@@ -330,25 +375,25 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
              col(px0.astype(jnp.float32)), col(py0.astype(jnp.float32))],
             axis=1)
         icols = [col(status), col(iters), col(done), oob1_i]
-        if use_v2:  # v2 adds the p1-canvas window offset (0 here)
-            icols.append(o1_zero)
+        if use_v2:  # v2 adds the p1-canvas window offset
+            icols.append(o1_cols)
         istate = jnp.concatenate(icols, axis=1)
         fout, iout, resn = inner(p1w, p2, fstate, istate,
                                  cfg, k, nc, nr)
         return (fout[:, 0], fout[:, 1], iout[:, 0], iout[:, 1],
-                iout[:, 2], resn)
+                iout[:, 2], resn, p2, py0, px0)
 
     # first anchor round always runs; cfg.reanchor_unroll optional
     # straight-line rounds follow (deterministic no-ops for converged
     # lanes), then the while_loop tail handles stragglers.
-    x2f, y2f, status, iters, done, residue = round_once(
-        x2, y2, status0, iters0, done0, p2=p2_first)
+    (x2f, y2f, status, iters, done, residue, p2l, py0l,
+     px0l) = round_once(x2, y2, status0, iters0, done0, p2=p2_first)
     for _ in range(cfg.reanchor_unroll):
-        x2f, y2f, status, iters, done, residue = round_once(
-            x2f, y2f, status, iters, done)
+        (x2f, y2f, status, iters, done, residue, p2l, py0l,
+         px0l) = round_once(x2f, y2f, status, iters, done)
 
     def outer(state):
-        rounds, x2c, y2c, status, iters, done, _ = state
+        rounds, x2c, y2c, status, iters, done = state[:6]
         out = round_once(x2c, y2c, status, iters, done)
         return (rounds + 1,) + out
 
@@ -356,9 +401,11 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
         rounds, done = state[0], state[5]
         return jnp.any(done == 0) & (rounds < cfg.max_iterations + 1)
 
-    _, x2f, y2f, status, iters, _, residue = jax.lax.while_loop(
+    (_, x2f, y2f, status, iters, _, residue, p2l, py0l,
+     px0l) = jax.lax.while_loop(
         outer_going, outer,
-        (jnp.int32(0), x2f, y2f, status, iters, done, residue))
+        (jnp.int32(0), x2f, y2f, status, iters, done, residue,
+         p2l, py0l, px0l))
     residue = residue[:, 0]
 
     status = _final_status(status, iters, x2f, y2f, residue, hw, hh,
@@ -366,16 +413,21 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
     x2f = jnp.where(active, x2f, x2)
     y2f = jnp.where(active, y2f, y2)
     status = jnp.where(active, status, TRACKED)
+    if want_carry:
+        return (x2f, y2f, status, iters), (p2l, py0l, px0l)
     return x2f, y2f, status, iters
 
 
 def track_level(stack1, stack2, x1, y1, x2, y2, active,
-                cfg: TrackingConfig):
+                cfg: TrackingConfig, carry_in=None, want_carry=False,
+                stale=None):
     """One pyramid level of batched LK — patch-resident fast path.
 
     stack1/stack2: [3, H, W] f32 (intensity, gradx, grady) of the two
     frames at this level.  Lanes with active=False pass through untouched
-    with status TRACKED.  Returns (x2_out, y2_out, status, iters).
+    with status TRACKED.  Returns (x2_out, y2_out, status, iters) —
+    or ((...), carry_out) with want_carry (callers gate on
+    level_carry_eligible).
     """
     w, h = cfg.window_width, cfg.window_height
     nr, nc = stack1.shape[-2], stack1.shape[-1]
@@ -383,9 +435,11 @@ def track_level(stack1, stack2, x1, y1, x2, y2, active,
         # level smaller than the tracking window: every window is
         # out of bounds before the first iteration (the reference's
         # first _window_oob check fails for all positions)
+        assert not want_carry
         status = jnp.where(active, jnp.int32(OOB), jnp.int32(TRACKED))
         return x2, y2, status, jnp.zeros_like(status)
     if min(nr, nc) < max(h, w) + 2:
+        assert not want_carry
         return _track_level_gather(stack1, stack2, x1, y1, x2, y2,
                                    active, cfg)
 
@@ -394,7 +448,9 @@ def track_level(stack1, stack2, x1, y1, x2, y2, active,
     if (pallas_enabled() and min(nr, nc) >= _k
             and max(h, w) + 3 <= _k):
         return _track_level_kernel(stack1, stack2, x1, y1, x2, y2,
-                                   active, cfg)
+                                   active, cfg, carry_in=carry_in,
+                                   want_carry=want_carry, stale=stale)
+    assert not want_carry
 
     hw, hh = np.float32(w // 2), np.float32(h // 2)
     hwi, hhi = w // 2, h // 2
@@ -540,13 +596,22 @@ def track_features_pyramid(pyr1, gradx1, grady1, pyr2, gradx2, grady2,
 
 
 def track_features_pyramid_stacks(stacks1, stacks2, x, y, val,
-                                  cfg: TrackingConfig):
+                                  cfg: TrackingConfig, carries=None,
+                                  want_carry=False):
     """Same driver on finest-first [3, H_l, W_l] stacks (the pyramid
-    kernel's native output layout — no re-stacking on the hot path)."""
+    kernel's native output layout — no re-stacking on the hot path).
+
+    carries/want_carry: per-level sequential canvas carries — one
+    (canvas, qy0, qx0) triple per level_carry_eligible level,
+    finest-first (see _track_level_kernel).  Freshly selected/replaced
+    features are detected via val > 0 (a selection response; tracked
+    features carry status 0) and invalidate the step's carry.  With
+    want_carry the return grows to (x, y, val, carries_out)."""
     s = np.float32(cfg.subsampling)
     nlev = cfg.n_pyramid_levels
     nr0, nc0 = stacks1[0].shape[-2], stacks1[0].shape[-1]
     alive = val >= 0
+    stale = val > 0
 
     from ..utils.checks import check_in_bounds, check_same_shape
     check_same_shape(stacks1[0], stacks2[0], "frame pair")
@@ -562,6 +627,17 @@ def track_features_pyramid_stacks(stacks1, stacks2, x, y, val,
     aborted = jnp.zeros_like(alive)
     last_status = jnp.full(x.shape, TRACKED, jnp.int32)
 
+    elig = [level_carry_eligible(st1.shape[-2], st1.shape[-1], cfg)
+            for st1 in stacks1]
+    use_carry = want_carry or carries is not None
+    slot = {}
+    j = 0
+    for r in range(nlev):
+        if elig[r]:
+            slot[r] = j
+            j += 1
+    carries_out = [None] * j
+
     for r in range(nlev - 1, -1, -1):
         in_loop = alive & ~aborted  # lanes still in the C level loop
         xloc = jnp.where(in_loop, xloc * s, xloc)
@@ -569,8 +645,16 @@ def track_features_pyramid_stacks(stacks1, stacks2, x, y, val,
         xout = jnp.where(in_loop, xout * s, xout)
         yout = jnp.where(in_loop, yout * s, yout)
 
-        x2, y2, st, _ = track_level(stacks1[r], stacks2[r], xloc, yloc,
-                                    xout, yout, in_loop, cfg)
+        if use_carry and elig[r]:
+            cin = carries[slot[r]] if carries is not None else None
+            (x2, y2, st, _), carries_out[slot[r]] = track_level(
+                stacks1[r], stacks2[r], xloc, yloc, xout, yout,
+                in_loop, cfg, carry_in=cin, want_carry=True,
+                stale=stale)
+        else:
+            x2, y2, st, _ = track_level(stacks1[r], stacks2[r],
+                                        xloc, yloc, xout, yout,
+                                        in_loop, cfg)
 
         xout = jnp.where(in_loop, x2, xout)
         yout = jnp.where(in_loop, y2, yout)
@@ -590,4 +674,6 @@ def track_features_pyramid_stacks(stacks1, stacks2, x, y, val,
     x_new = jnp.where(alive, jnp.where(lost, jnp.float32(-1.0), xout), x)
     y_new = jnp.where(alive, jnp.where(lost, jnp.float32(-1.0), yout), y)
     val_new = jnp.where(alive, final, val)
+    if want_carry:
+        return x_new, y_new, val_new, tuple(carries_out)
     return x_new, y_new, val_new

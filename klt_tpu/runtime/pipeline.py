@@ -20,6 +20,22 @@ from ..ops.pyramid import build_image_pyramids, build_pyramid_stacks
 from ..ops.lk import track_features_pyramid, track_features_pyramid_stacks
 
 
+def _init_level_carries(st0, n, cfg: TrackingConfig):
+    """Initial per-level canvas carries (anchors far out of range so
+    the first step falls back to extraction) — one triple per
+    level_carry_eligible level, finest-first."""
+    from ..ops.lk import level_carry_eligible, _kernel_patch_size
+    out = []
+    for st in st0:
+        nr, nc = st.shape[-2], st.shape[-1]
+        if level_carry_eligible(nr, nc, cfg):
+            k = _kernel_patch_size(nr, nc, cfg)
+            out.append((jnp.zeros((n, 3 * k * k), jnp.float32),
+                        jnp.full((n,), jnp.int32(-(10 ** 6))),
+                        jnp.full((n,), jnp.int32(-(10 ** 6)))))
+    return tuple(out)
+
+
 @functools.partial(jax.jit, static_argnums=4)
 def track_sequence(frames, x, y, val, cfg: TrackingConfig):
     """Track features through a whole sequence in one compiled program.
@@ -28,19 +44,23 @@ def track_sequence(frames, x, y, val, cfg: TrackingConfig):
     Returns (xs, ys, vals) of shape [T-1, N]: the state after tracking
     into each frame t (t = 1..T-1).  Pyramid levels travel as stacked
     [3, H_l, W_l] arrays — the pyramid kernel's native output — so the
-    scan body performs no re-stacking.
+    scan body performs no re-stacking.  The scan also carries each
+    eligible level's last-round p2 canvas (sequential canvas carry:
+    the next step's first-image windows come from it for free).
     """
     st0 = tuple(build_pyramid_stacks(frames[0], cfg))
+    c0 = _init_level_carries(st0, x.shape[0], cfg)
 
     def body(carry, img):
-        st1, x, y, val = carry
+        st1, cc, x, y, val = carry
         st2 = tuple(build_pyramid_stacks(img, cfg))
-        xn, yn, vn = track_features_pyramid_stacks(
-            list(st1), list(st2), x, y, val, cfg)
-        return (st2, xn, yn, vn), (xn, yn, vn)
+        xn, yn, vn, cn = track_features_pyramid_stacks(
+            list(st1), list(st2), x, y, val, cfg, carries=cc,
+            want_carry=True)
+        return (st2, cn, xn, yn, vn), (xn, yn, vn)
 
-    (_, xf, yf, vf), tables = jax.lax.scan(
-        body, (st0, x, y, val), frames[1:])
+    (_, _, xf, yf, vf), tables = jax.lax.scan(
+        body, (st0, c0, x, y, val), frames[1:])
     return tables
 
 
@@ -86,18 +106,23 @@ def track_sequence_replace(frames, x, y, val, cfg: TrackingConfig):
     from ..ops.replace import replace_lost_features_device
 
     st0 = tuple(build_pyramid_stacks(frames[0], cfg))
+    c0 = _init_level_carries(st0, x.shape[0], cfg)
 
     def body(carry, img):
-        st1, x, y, val = carry
+        st1, cc, x, y, val = carry
         st2 = tuple(build_pyramid_stacks(img, cfg))
-        xn, yn, vn = track_features_pyramid_stacks(
-            list(st1), list(st2), x, y, val, cfg)
+        # replaced features carry their (positive) selection response
+        # in val, which marks the step's canvas carry stale for them
+        # (track_features_pyramid_stacks' val > 0 check)
+        xn, yn, vn, cn = track_features_pyramid_stacks(
+            list(st1), list(st2), x, y, val, cfg, carries=cc,
+            want_carry=True)
         xn, yn, vn = replace_lost_features_device(
             st2[0][1], st2[0][2], xn, yn, vn, cfg)
-        return (st2, xn, yn, vn), (xn, yn, vn)
+        return (st2, cn, xn, yn, vn), (xn, yn, vn)
 
-    (_, xf, yf, vf), tables = jax.lax.scan(
-        body, (st0, x, y, val), frames[1:])
+    (_, _, xf, yf, vf), tables = jax.lax.scan(
+        body, (st0, c0, x, y, val), frames[1:])
     return tables
 
 
@@ -127,23 +152,25 @@ def track_sequence_affine(frames, x, y, val, cfg: TrackingConfig):
             jnp.ones(n, jnp.float32), v0, v0, jnp.ones(n, jnp.float32))
 
     pyr0 = tuple(build_pyramid_stacks(frames[0], cfg))
+    c0 = _init_level_carries(pyr0, n, cfg)
 
     def body(carry, img):
-        st1, xc, yc, vc, aff = carry
+        st1, cc, xc, yc, vc, aff = carry
         st2 = tuple(build_pyramid_stacks(img, cfg))
-        xn, yn, vn = track_features_pyramid_stacks(
-            list(st1), list(st2), xc, yc, vc, cfg)
+        xn, yn, vn, cn = track_features_pyramid_stacks(
+            list(st1), list(st2), xc, yc, vc, cfg, carries=cc,
+            want_carry=True)
         out = _affine_step_jit(
             *aff, st1[0][0], st1[0][1], st1[0][2],
             st2[0][0], st2[0][1], st2[0][2],
             xc, yc, xn, yn, vn, cfg)
         aff_new = tuple(out[:10])
         x_out, y_out, val_out = out[10], out[11], out[12]
-        return ((st2, x_out, y_out, val_out, aff_new),
+        return ((st2, cn, x_out, y_out, val_out, aff_new),
                 (x_out, y_out, val_out))
 
-    (_, xf, yf, vf, _), tables = jax.lax.scan(
-        body, (pyr0, x, y, val, aff0), frames[1:])
+    (_, _, xf, yf, vf, _), tables = jax.lax.scan(
+        body, (pyr0, c0, x, y, val, aff0), frames[1:])
     return tables
 
 
@@ -201,14 +228,19 @@ def track_sequence_stream(frames_iter, x, y, val, cfg: TrackingConfig,
 def _track_chunk_carry(pyr1_state, frames, x, y, val,
                        cfg: TrackingConfig):
     """Scan one frame chunk, carrying pyramids in (donated) device
-    buffers across dispatches."""
-    def body(carry, img):
-        st1, x, y, v = carry
-        st2 = tuple(build_pyramid_stacks(img, cfg))
-        xn, yn, vn = track_features_pyramid_stacks(
-            list(st1), list(st2), x, y, v, cfg)
-        return (st2, xn, yn, vn), None
+    buffers across dispatches.  The canvas carry resets per chunk (its
+    first step extracts), trading ~1/chunk of the carry win for an
+    unchanged host-facing carry interface."""
+    c0 = _init_level_carries(pyr1_state, x.shape[0], cfg)
 
-    (st2, xf, yf, vf), _ = jax.lax.scan(
-        body, (pyr1_state, x, y, val), frames)
+    def body(carry, img):
+        st1, cc, x, y, v = carry
+        st2 = tuple(build_pyramid_stacks(img, cfg))
+        xn, yn, vn, cn = track_features_pyramid_stacks(
+            list(st1), list(st2), x, y, v, cfg, carries=cc,
+            want_carry=True)
+        return (st2, cn, xn, yn, vn), None
+
+    (st2, _, xf, yf, vf), _ = jax.lax.scan(
+        body, (pyr1_state, c0, x, y, val), frames)
     return (xf, yf, vf), st2
