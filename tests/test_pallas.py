@@ -156,17 +156,14 @@ def test_lk2_multi_block_features(provided_frames, monkeypatch):
         assert d.max() < 1e-2, f"drift {d.max()}"
 
 
-# (9, 5) stays in the fast gate as the non-square representative (it
-# exercises the per-axis n_off path that caught the round-2 bug); the
-# rest of the matrix runs with --runslow / KLT_TPU_SLOW_TESTS=1
-@pytest.mark.parametrize("ww,wh", [
-    pytest.param(5, 5, marks=pytest.mark.slow),
-    pytest.param(9, 9, marks=pytest.mark.slow),
-    pytest.param(7, 9, marks=pytest.mark.slow),
-    (9, 5),
-    pytest.param(5, 9, marks=pytest.mark.slow),
-    pytest.param(11, 11, marks=pytest.mark.slow),
-    pytest.param(13, 13, marks=pytest.mark.slow)])
+# The whole geometry/lighting/pyramid fuzz matrix is slow-gated
+# (--runslow / KLT_TPU_SLOW_TESTS=1): default-geometry kernel
+# correctness is covered by the oracle/equality/golden tests above,
+# and the matrices' per-case cost doubled once the carry paths joined
+# the interpret-mode compiles.
+@pytest.mark.slow
+@pytest.mark.parametrize("ww,wh", [(5, 5), (9, 9), (7, 9), (9, 5),
+                                   (5, 9), (11, 11), (13, 13)])
 def test_lk2_window_geometry_fuzz(provided_frames, monkeypatch, ww, wh):
     """The v2 flattened-lane kernel's roll/wrap geometry must hold for
     every window size the config system allows (the wrap-safety margin
@@ -201,11 +198,8 @@ def test_lk2_window_geometry_fuzz(provided_frames, monkeypatch, ww, wh):
         assert d.max() < 5e-2, f"drift {d.max()}"
 
 
-# sr=60 (3-level/ss8) stays in the fast gate; the rest is slow-gated
-@pytest.mark.parametrize("sr", [
-    pytest.param(5, marks=pytest.mark.slow),
-    pytest.param(30, marks=pytest.mark.slow),
-    60])
+@pytest.mark.slow
+@pytest.mark.parametrize("sr", [5, 30, 60])
 def test_lk2_pyramid_config_fuzz(provided_frames, monkeypatch, sr):
     """search_range-derived pyramid variants (1-level, 2-level/ss4,
     3-level/ss8) through the kernel path vs the no-Pallas oracle."""
@@ -237,11 +231,8 @@ def test_lk2_pyramid_config_fuzz(provided_frames, monkeypatch, sr):
         assert d.max() < 5e-2, f"drift {d.max()}"
 
 
-# (9, 5) non-square stays in the fast gate; default geometry is
-# already covered by the lighting table tests
-@pytest.mark.parametrize("ww,wh", [
-    pytest.param(7, 7, marks=pytest.mark.slow),
-    (9, 5)])
+@pytest.mark.slow
+@pytest.mark.parametrize("ww,wh", [(7, 7), (9, 5)])
 def test_lk2_lighting_geometry_fuzz(provided_frames, monkeypatch,
                                     ww, wh):
     """Lighting-insensitive kernel branch across window geometries vs

@@ -1,20 +1,30 @@
 """Roofline / utilization evidence for the hot kernels (VERDICT item:
 make "speed-of-light" measurable).
 
-Profiles one compiled flagship frame-pair program on the real chip and
+Profiles the compiled flagship frame-pair program on the real chip and
 reports, per hot component:
   * pyramid kernel: achieved HBM bandwidth vs the chip peak (the
     pyramid build is bandwidth-bound by design);
-  * LK level kernel: achieved useful FLOP/s vs the VPU peak, plus its
-    share of the pair;
-  * extraction + glue shares of device time per pair.
+  * LK level kernel: achieved useful FLOP/s vs the VPU peak;
+  * extraction: BOTH achieved-GB/s-vs-HBM and logical-MAC-vs-MXU
+    utilization, plus which roofline it sits under (the one-hot
+    extraction matmuls are strength-reduced/materialization-bound, so
+    a FLOP-only number would mislead);
+  * component shares of traced device time.
 
-Peaks are for TPU v5e (v5 lite): ~819 GB/s HBM, VPU ~ 8 sublanes x
-128 lanes x 2 (fma) x 0.94 GHz ~ 1.9 Tf32op/s per core.
+The tunneled profiler DROPS whole event categories per capture window
+(observed: the lk2 custom-calls vanish from some traces), so this tool
+captures SEVERAL small windows and merges them by per-key maximum —
+a category dropped in one window is usually present in another.
+
+Peaks are for TPU v5e (v5 lite): ~819 GB/s HBM, VPU ~1.9 Tf32op/s,
+MXU ~197 Tbf16op/s => ~65.7 Tf32op/s logical at the 3-pass (HIGH)
+precision the extraction matmuls run at.
 
 Prints one JSON line consumed by bench.py / PARITY.md.
 """
 
+import collections
 import json
 import os
 import sys
@@ -25,6 +35,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 HBM_PEAK_GBS = 819.0
 VPU_PEAK_GFLOPS = 1900.0
+MXU_PEAK_GFLOPS_3PASS = 65700.0
 
 
 def main():
@@ -59,20 +70,28 @@ def main():
     jax.block_until_ready(r)
     wall_per_pair = (time.perf_counter() - t0) / (reps * n_pairs)
 
-    with trace("/tmp/roofline_trace"):
-        for _ in range(4):
-            r = track_sequence(fd, x0, y0, v0, cfg)
-        jax.block_until_ready(r)
+    # several independent small capture windows, merged by per-key MAX
+    # us/run (robust to per-window event drops)
+    merged = collections.defaultdict(float)
+    counts = {}
+    for widx in range(4):
+        d = f"/tmp/roofline_trace_{widx}"
+        with trace(d):
+            for _ in range(2):
+                r = track_sequence(fd, x0, y0, v0, cfg)
+            jax.block_until_ready(r)
+        for us, n, cat, src in op_breakdown(d, runs=2, top=400):
+            key = (cat, src)
+            if us > merged[key]:
+                merged[key] = us
+                counts[key] = n
 
-    # The tunneled profiler can drop events, so the headline numbers
-    # below use PER-LAUNCH averages (robust to undercounted totals);
-    # the shares carry a completeness estimate alongside.
-    rows = op_breakdown("/tmp/roofline_trace", runs=4, top=300)
     agg = {"pyramid_kernel": 0.0, "lk_kernel": 0.0, "extraction": 0.0,
            "other": 0.0}
     per_launch = {"pyramid_kernel": [], "lk_kernel": []}
     total = 0.0
-    for us, n, cat, src in rows:
+    for (cat, src), us in merged.items():
+        n = counts[(cat, src)]
         total += us
         if "pallas/pyramid" in src:
             agg["pyramid_kernel"] += us
@@ -110,6 +129,31 @@ def main():
     lk_flops_launch = f * win * 40 * 7  # ~7 iterations per launch
     lk_gflops = (lk_flops_launch / 1e9) / max(lk_us, 1e-9) * 1e6
 
+    # Extraction analytics for the steady-state per-pair set (with the
+    # sequential canvas carry the p1 windows come from the carried
+    # canvas; the first-round p2 extraction per level remains): exact-
+    # row one-hot band [F*k, H_l] @ [H_l, 3W_l] + block-diag column
+    # one-hot [F, 3W_l, 3k] einsum.
+    k = 16
+    mac = 0
+    by = 0.0
+    hh, ww = h, w
+    for _ in range(nlev):
+        cw = 3 * ww
+        mac += f * k * hh * cw          # row stage logical MACs
+        mac += f * k * cw * 3 * k       # col stage
+        by += f * k * cw * 4 * 2        # band write + read
+        by += f * cw * 3 * k * 4        # col one-hot materialization
+        by += f * 3 * k * k * 4         # patches out
+        hh //= ss
+        ww //= ss
+    ex_us = agg["extraction"] / n_pairs
+    ex_gflops = (2 * mac / 1e9) / max(ex_us, 1e-9) * 1e6
+    ex_gbs = (by / 1e9) / max(ex_us, 1e-9) * 1e6
+    pct_mxu = 100 * ex_gflops / MXU_PEAK_GFLOPS_3PASS
+    pct_hbm_ex = 100 * ex_gbs / HBM_PEAK_GBS
+    bound = "memory/materialization" if pct_hbm_ex >= pct_mxu else "MXU"
+
     device_per_pair = total / n_pairs
     out = {
         "device": str(jax.devices()[0]),
@@ -118,8 +162,9 @@ def main():
         "trace_completeness": round(
             min(device_per_pair / max(wall_per_pair * 1e6, 1e-9), 1.0),
             3),
-        "shares_of_traced": {k: round(v / max(total, 1e-9), 3)
-                             for k, v in agg.items()},
+        "trace_windows_merged": 4,
+        "shares_of_traced": {k2: round(v / max(total, 1e-9), 3)
+                             for k2, v in agg.items()},
         "pyramid": {
             "us_per_launch": round(pyr_us, 1),
             "bytes_per_frame": pyr_bytes,
@@ -131,6 +176,14 @@ def main():
             "useful_GFLOP_s_at_7iter": round(lk_gflops, 1),
             "pct_of_VPU_peak": round(100 * lk_gflops / VPU_PEAK_GFLOPS,
                                      1),
+        },
+        "extraction": {
+            "us_per_pair": round(ex_us, 1),
+            "logical_GFLOP_s": round(ex_gflops, 1),
+            "pct_of_MXU_3pass_peak": round(pct_mxu, 1),
+            "achieved_GB_s": round(ex_gbs, 1),
+            "pct_of_HBM_peak": round(pct_hbm_ex, 1),
+            "bound": bound,
         },
     }
     print(json.dumps(out))
