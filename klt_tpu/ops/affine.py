@@ -176,6 +176,39 @@ def _coord_oob(c, n):
     return (c < 0.0) | (n - c < _EPS)
 
 
+import os
+
+# Active-lane compaction for the Gauss-Newton loop: after PRE lockstep
+# iterations most lanes have converged, but the while_loop runs every
+# remaining iteration at full width for the stragglers (round-3 trace:
+# ~9 effective iterations/frame at ~1 ms each, N=2000).  Gathering the
+# still-active lanes into an N/4-wide state and iterating there cuts
+# the straggler cost 4x; per-lane math is unchanged (every loop op is
+# lane-independent), so results are bit-identical.
+_COMPACT = os.environ.get("KLT_TPU_AFFINE_COMPACT", "1") != "0"
+_COMPACT_PRE = int(os.environ.get("KLT_TPU_AFFINE_COMPACT_PRE", "2"))
+_GATHER_ONEHOT = os.environ.get("KLT_TPU_AFFINE_GATHER", "take") == "onehot"
+
+
+def _gather_rows(a, idx):
+    """Row gather [N, ...] -> [M, ...] (exact for both backends: take
+    is a copy; the one-hot dot is 0/1-weighted at HIGHEST)."""
+    if not _GATHER_ONEHOT:
+        return jnp.take(a, idx, axis=0)
+    n = a.shape[0]
+    oh = (idx[:, None] ==
+          jnp.arange(n, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    flat = a.reshape(n, -1)
+    if a.dtype == jnp.float32:
+        out = jnp.dot(oh, flat, precision=_HI,
+                      preferred_element_type=jnp.float32)
+    else:
+        out = jnp.dot(oh, flat.astype(jnp.float32), precision=_HI,
+                      preferred_element_type=jnp.float32)
+        out = jnp.round(out).astype(a.dtype)
+    return out.reshape((idx.shape[0],) + a.shape[1:])
+
+
 def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
                  a_in, active, cfg: TrackingConfig):
     """Batched Gauss-Newton against the saved reference patches.
@@ -204,16 +237,39 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
     # every in-loop sample (axis-aligned or affine-warped) then reads
     # its own [P, P] patch through _sample_in_patch — no image gathers.
     pres = _RESIDENT
-    if min(nr2, nc2) >= pres:
+    presf = np.float32(pres)
+    have_res = min(nr2, nc2) >= pres
+    if have_res:
         sp2 = pack_stack_channels(jnp.stack([img2, gradx2, grady2]))
         pa_x0 = jnp.clip(x2_in.astype(jnp.int32) - pres // 2, 0,
                          nc2 - pres)
         pa_y0 = jnp.clip(y2_in.astype(jnp.int32) - pres // 2, 0,
                          nr2 - pres)
-        resid = extract_packed_cb(sp2, pa_y0, pa_x0, pres, pres)
+        resid_full = extract_packed_cb(sp2, pa_y0, pa_x0, pres, pres)
+    else:
+        resid_full = pa_x0 = pa_y0 = None
+
+    def make_samplers(resid, pax0, pay0):
+        """Sampler + patch-bound closures over one lane-width's
+        operands (full or compacted)."""
+        if not have_res:
+            # image smaller than the resident patch: gather sampling
+            def sample2_img(xs, ys):
+                return bilinear_sample(img2, xs, ys)
+
+            def sample2_all(xs, ys):
+                return (bilinear_sample(img2, xs, ys),
+                        bilinear_sample(gradx2, xs, ys),
+                        bilinear_sample(grady2, xs, ys))
+
+            def patch_oob_x(c):
+                return jnp.zeros_like(c, bool)
+
+            return sample2_img, sample2_all, patch_oob_x, patch_oob_x
+
         rimg = resid[:, :, :pres]
-        pax0f = pa_x0.astype(jnp.float32)[:, None]
-        pay0f = pa_y0.astype(jnp.float32)[:, None]
+        pax0f = pax0.astype(jnp.float32)[:, None]
+        pay0f = pay0.astype(jnp.float32)[:, None]
 
         def sample2_img(xs, ys):
             return _sample_in_patch(rimg, xs - pax0f, ys - pay0f)
@@ -226,8 +282,6 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
         # silently read edge-clamped values where the reference reads
         # real image data — mark such features OOB instead (they are
         # beyond affine_max_displacement_differ in practice anyway).
-        presf = np.float32(pres)
-
         def patch_oob_x(c):
             lc = c - pax0f[:, 0]
             return (lc < 0.0) | (presf - lc < _EPS)
@@ -235,30 +289,18 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
         def patch_oob_y(c):
             lc = c - pay0f[:, 0]
             return (lc < 0.0) | (presf - lc < _EPS)
-    else:
-        # image smaller than the resident patch: keep gather sampling
-        def sample2_img(xs, ys):
-            return bilinear_sample(img2, xs, ys)
 
-        def sample2_all(xs, ys):
-            return (bilinear_sample(img2, xs, ys),
-                    bilinear_sample(gradx2, xs, ys),
-                    bilinear_sample(grady2, xs, ys))
-
-        def patch_oob_x(c):
-            return jnp.zeros_like(c, bool)
-
-        patch_oob_y = patch_oob_x
+        return sample2_img, sample2_all, patch_oob_x, patch_oob_y
 
     # Patch-side windows are iteration-invariant.
     xs1 = x1[:, None] + dxo[None, :]
     ys1 = y1[:, None] + dyo[None, :]
-    g1 = _sample_in_patch(pimg, xs1, ys1)
-    gx1w = _sample_in_patch(pgx, xs1, ys1)
-    gy1w = _sample_in_patch(pgy, xs1, ys1)
+    g1_full = _sample_in_patch(pimg, xs1, ys1)
+    gx1w_full = _sample_in_patch(pgx, xs1, ys1)
+    gy1w_full = _sample_in_patch(pgy, xs1, ys1)
 
-    src_oob = (_coord_oob(x1 - hw, pcf) | (pcf - (x1 + hw) < _EPS) |
-               _coord_oob(y1 - hh, prf) | (prf - (y1 + hh) < _EPS))
+    src_oob_full = (_coord_oob(x1 - hw, pcf) | (pcf - (x1 + hw) < _EPS) |
+                    _coord_oob(y1 - hh, prf) | (prf - (y1 + hh) < _EPS))
 
     axx0, ayx0, axy0, ayy0 = a_in
 
@@ -267,116 +309,172 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
         mj = ayx[:, None] * dxo[None, :] + ayy[:, None] * dyo[None, :]
         return x2[:, None] + mi, y2[:, None] + mj
 
-    def body(_, state):
-        x2, y2, axx, ayx, axy, ayy, status, done = state
+    def make_body(samplers, g1, gx1w, gy1w, src_oob):
+        _, sample2_all, patch_oob_x, patch_oob_y = samplers
 
-        if mode == 0:
-            oob = (src_oob |
-                   (x2 - hw < 0.0) | (nc2f - (x2 + hw) < _EPS) |
-                   (y2 - hh < 0.0) | (nr2f - (y2 + hh) < _EPS) |
-                   patch_oob_x(x2 - hw) | patch_oob_x(x2 + hw) |
-                   patch_oob_y(y2 - hh) | patch_oob_y(y2 + hh))
-        else:
-            cs = _corners(axx, ayx, axy, ayy, x2, y2, hw, hh)
-            oob = src_oob
-            for k in range(0, 8, 2):
-                oob = (oob | _coord_oob(cs[k], nc2f) |
-                       _coord_oob(cs[k + 1], nr2f) |
-                       patch_oob_x(cs[k]) | patch_oob_y(cs[k + 1]))
-        status = jnp.where(~done & oob, OOB, status)
-        done = done | oob
+        def body(state):
+            x2, y2, axx, ayx, axy, ayy, status, done = state
 
-        if mode == 0:
-            xs2 = x2[:, None] + dxo[None, :]
-            ys2 = y2[:, None] + dyo[None, :]
-            g2, gx2s, gy2s = sample2_all(xs2, ys2)
-            gx = gx1w + gx2s
-            gy = gy1w + gy2s
-            diff = g1 - g2
-            gxx = jnp.sum(gx * gx, axis=1)
-            gxy = jnp.sum(gx * gy, axis=1)
-            gyy = jnp.sum(gy * gy, axis=1)
-            step = np.float32(cfg.step_factor)
-            ex = jnp.sum(diff * gx, axis=1) * step
-            ey = jnp.sum(diff * gy, axis=1) * step
-            det = gxx * gyy - gxy * gxy
-            small = det < np.float32(cfg.min_determinant)
-            det_safe = jnp.where(small, 1.0, det)
-            dx = (gyy * ex - gxy * ey) / det_safe
-            dy = (gxx * ey - gxy * ex) / det_safe
-            conv = (jnp.abs(dx) < th) & (jnp.abs(dy) < th)
-        else:
-            wx, wy = warp_coords(axx, ayx, axy, ayy, x2, y2)
-            g2, gx, gy = sample2_all(wx, wy)  # [N,K] each
-            diff = g1 - g2
-
-            xi, yj = dxo[None, :], dyo[None, :]
-            if mode == 1:  # similarity: (s, r, dx, dy)
-                d_cols = [xi * gx + yj * gy, xi * gy - yj * gx, gx, gy]
-            else:  # full affine
-                d_cols = [xi * gx, xi * gy, yj * gx, yj * gy, gx, gy]
-            D = jnp.stack(d_cols, axis=-1)  # [N, K, P]
-            T = jnp.einsum("nkp,nkq->npq", D, D,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-            e = 0.5 * jnp.einsum("nkp,nk->np", D, diff,
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
-
-            a, small = _solve_sym_small(T, e)
-
-            old = _corners(axx, ayx, axy, ayy, x2, y2, hw, hh)
-            if mode == 1:
-                axx_n = axx + a[:, 0]
-                ayx_n = ayx + a[:, 1]
-                ayy_n = axx_n
-                axy_n = -ayx_n
-                dx, dy = a[:, 2], a[:, 3]
+            if mode == 0:
+                oob = (src_oob |
+                       (x2 - hw < 0.0) | (nc2f - (x2 + hw) < _EPS) |
+                       (y2 - hh < 0.0) | (nr2f - (y2 + hh) < _EPS) |
+                       patch_oob_x(x2 - hw) | patch_oob_x(x2 + hw) |
+                       patch_oob_y(y2 - hh) | patch_oob_y(y2 + hh))
             else:
-                axx_n = axx + a[:, 0]
-                ayx_n = ayx + a[:, 1]
-                axy_n = axy + a[:, 2]
-                ayy_n = ayy + a[:, 3]
-                dx, dy = a[:, 4], a[:, 5]
+                cs = _corners(axx, ayx, axy, ayy, x2, y2, hw, hh)
+                oob = src_oob
+                for k in range(0, 8, 2):
+                    oob = (oob | _coord_oob(cs[k], nc2f) |
+                           _coord_oob(cs[k + 1], nr2f) |
+                           patch_oob_x(cs[k]) | patch_oob_y(cs[k + 1]))
+            status = jnp.where(~done & oob, OOB, status)
+            done = done | oob
 
-            upd_ok = ~done & ~small
-            axx = jnp.where(upd_ok, axx_n, axx)
-            ayx = jnp.where(upd_ok, ayx_n, ayx)
-            axy = jnp.where(upd_ok, axy_n, axy)
-            ayy = jnp.where(upd_ok, ayy_n, ayy)
+            if mode == 0:
+                xs2 = x2[:, None] + dxo[None, :]
+                ys2 = y2[:, None] + dyo[None, :]
+                g2, gx2s, gy2s = sample2_all(xs2, ys2)
+                gx = gx1w + gx2s
+                gy = gy1w + gy2s
+                diff = g1 - g2
+                gxx = jnp.sum(gx * gx, axis=1)
+                gxy = jnp.sum(gx * gy, axis=1)
+                gyy = jnp.sum(gy * gy, axis=1)
+                step = np.float32(cfg.step_factor)
+                ex = jnp.sum(diff * gx, axis=1) * step
+                ey = jnp.sum(diff * gy, axis=1) * step
+                det = gxx * gyy - gxy * gxy
+                small = det < np.float32(cfg.min_determinant)
+                det_safe = jnp.where(small, 1.0, det)
+                dx = (gyy * ex - gxy * ey) / det_safe
+                dy = (gxx * ey - gxy * ex) / det_safe
+                conv = (jnp.abs(dx) < th) & (jnp.abs(dy) < th)
+            else:
+                wx, wy = warp_coords(axx, ayx, axy, ayy, x2, y2)
+                g2, gx, gy = sample2_all(wx, wy)  # [N,K] each
+                diff = g1 - g2
 
-            new = _corners(axx, ayx, axy, ayy,
-                           x2 + jnp.where(upd_ok, dx, 0.0),
-                           y2 + jnp.where(upd_ok, dy, 0.0), hw, hh)
-            conv = (jnp.abs(dx) < th) & (jnp.abs(dy) < th)
-            for k in range(8):
-                conv = conv & (jnp.abs(old[k] - new[k]) < th_aff)
+                xi, yj = dxo[None, :], dyo[None, :]
+                if mode == 1:  # similarity: (s, r, dx, dy)
+                    d_cols = [xi * gx + yj * gy, xi * gy - yj * gx,
+                              gx, gy]
+                else:  # full affine
+                    d_cols = [xi * gx, xi * gy, yj * gx, yj * gy,
+                              gx, gy]
+                D = jnp.stack(d_cols, axis=-1)  # [N, K, P]
+                T = jnp.einsum("nkp,nkq->npq", D, D,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+                e = 0.5 * jnp.einsum("nkp,nk->np", D, diff,
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.HIGHEST)
 
-        status = jnp.where(~done & small, SMALL_DET, status)
-        done_after_small = done | small
-        x2 = x2 + jnp.where(~done & ~small, dx, 0.0)
-        y2 = y2 + jnp.where(~done & ~small, dy, 0.0)
-        done = done_after_small | (~done_after_small & conv)
-        return x2, y2, axx, ayx, axy, ayy, status, done
+                a, small = _solve_sym_small(T, e)
+
+                old = _corners(axx, ayx, axy, ayy, x2, y2, hw, hh)
+                if mode == 1:
+                    axx_n = axx + a[:, 0]
+                    ayx_n = ayx + a[:, 1]
+                    ayy_n = axx_n
+                    axy_n = -ayx_n
+                    dx, dy = a[:, 2], a[:, 3]
+                else:
+                    axx_n = axx + a[:, 0]
+                    ayx_n = ayx + a[:, 1]
+                    axy_n = axy + a[:, 2]
+                    ayy_n = ayy + a[:, 3]
+                    dx, dy = a[:, 4], a[:, 5]
+
+                upd_ok = ~done & ~small
+                axx = jnp.where(upd_ok, axx_n, axx)
+                ayx = jnp.where(upd_ok, ayx_n, ayx)
+                axy = jnp.where(upd_ok, axy_n, axy)
+                ayy = jnp.where(upd_ok, ayy_n, ayy)
+
+                new = _corners(axx, ayx, axy, ayy,
+                               x2 + jnp.where(upd_ok, dx, 0.0),
+                               y2 + jnp.where(upd_ok, dy, 0.0), hw, hh)
+                conv = (jnp.abs(dx) < th) & (jnp.abs(dy) < th)
+                for k in range(8):
+                    conv = conv & (jnp.abs(old[k] - new[k]) < th_aff)
+
+            status = jnp.where(~done & small, SMALL_DET, status)
+            done_after_small = done | small
+            x2 = x2 + jnp.where(~done & ~small, dx, 0.0)
+            y2 = y2 + jnp.where(~done & ~small, dy, 0.0)
+            done = done_after_small | (~done_after_small & conv)
+            return x2, y2, axx, ayx, axy, ayy, status, done
+
+        return body
+
+    def run_gn(body, it0, state, max_it):
+        """Early-exit while: the body is a masked no-op for converged /
+        killed lanes, so stopping when ALL lanes are done is exactly
+        the fixed-trip loop's result — real sequences converge in a
+        few iterations, not affine_max_iterations."""
+        def w_cond(s):
+            return jnp.any(~s[1][7]) & (s[0] < max_it)
+
+        def w_body(s):
+            return s[0] + 1, body(s[1])
+
+        return jax.lax.while_loop(w_cond, w_body, (it0, state))
 
     status0 = jnp.full(x2_in.shape, TRACKED, jnp.int32)
-    init = (x2_in, y2_in, axx0, ayx0, axy0, ayy0, status0, ~active)
+    st0 = (x2_in, y2_in, axx0, ayx0, axy0, ayy0, status0, ~active)
 
-    # Early-exit while: the body is a masked no-op for converged /
-    # killed lanes, so stopping when ALL lanes are done is exactly the
-    # fixed-trip loop's result — and real sequences converge in a few
-    # iterations, not affine_max_iterations (each iteration costs two
-    # [N, K, P] sampling einsums; round-3 trace: ~1 ms/iteration at
-    # N=2000).
-    def w_cond(state):
-        return jnp.any(~state[8]) & (state[0] <
-                                     cfg.affine_max_iterations)
+    samp_full = make_samplers(resid_full, pa_x0, pa_y0)
+    body_full = make_body(samp_full, g1_full, gx1w_full, gy1w_full,
+                          src_oob_full)
+    sample2_img = samp_full[0]
+    g1 = g1_full
 
-    def w_body(state):
-        return (state[0] + 1,) + body(state[0], state[1:])
+    n_lanes = int(x2_in.shape[0])
+    max_it = cfg.affine_max_iterations
+    m_c = max(128, -(-(-(-n_lanes // 4)) // 128) * 128)  # ceil(n/4) -> x128
+    do_compact = _COMPACT and m_c < n_lanes and max_it > _COMPACT_PRE
 
-    out = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0),) + init)
-    x2, y2, axx, ayx, axy, ayy, status, _ = out[1:]
+    if not do_compact:
+        _, st = run_gn(body_full, jnp.int32(0), st0, max_it)
+    else:
+        pre = min(_COMPACT_PRE, max_it)
+        it1, st1 = run_gn(body_full, jnp.int32(0), st0, pre)
+        act = ~st1[7]
+        cnt = jnp.sum(act.astype(jnp.int32))
+        slots = jnp.cumsum(act.astype(jnp.int32)) - 1
+        tgt = jnp.where(act, slots, m_c)
+        idx = jnp.zeros((m_c,), jnp.int32).at[tgt].set(
+            jnp.arange(n_lanes, dtype=jnp.int32), mode="drop")
+
+        def compact_branch(st_in):
+            stc = tuple(_gather_rows(a, idx) for a in st_in)
+            pad_dead = jnp.arange(m_c, dtype=jnp.int32) >= cnt
+            stc = stc[:7] + (stc[7] | pad_dead,)
+            if have_res:
+                samp_c = make_samplers(_gather_rows(resid_full, idx),
+                                       _gather_rows(pa_x0, idx),
+                                       _gather_rows(pa_y0, idx))
+            else:
+                samp_c = samp_full  # samplers hold no per-lane state
+            body_c = make_body(samp_c,
+                               _gather_rows(g1_full, idx),
+                               _gather_rows(gx1w_full, idx),
+                               _gather_rows(gy1w_full, idx),
+                               _gather_rows(src_oob_full, idx))
+            _, stc2 = run_gn(body_c, it1, stc, max_it)
+            sl = jnp.clip(slots, 0, m_c - 1)
+            return tuple(
+                jnp.where(act, jnp.take(a_c, sl, axis=0), a_f)
+                for a_f, a_c in zip(st_in, stc2))
+
+        def full_branch(st_in):
+            _, stf = run_gn(body_full, it1, st_in, max_it)
+            return stf
+
+        st = jax.lax.cond(cnt <= m_c, compact_branch, full_branch, st1)
+
+    x2, y2, axx, ayx, axy, ayy, status, _ = st
 
     # Post-loop checks (src/V1/trackFeatures.c:1185-1208).
     final_oob = ((x2 - hw < 0.0) | (nc2f - (x2 + hw) < _EPS) |

@@ -183,6 +183,56 @@ def test_affine_sequence(provided_frames):
     _compare_tables(ft, oracle, max_drift=0.5, min_status_agree=135)
 
 
+def test_affine_compaction_bit_exact(provided_frames, monkeypatch):
+    """The active-lane compaction (KLT_TPU_AFFINE_COMPACT) must be a
+    pure permutation-and-back: every loop op is lane-independent, so
+    the compacted while_loop returns bit-identical state."""
+    import jax.numpy as jnp
+    from klt_tpu.ops import affine as aff
+    from klt_tpu.ops.pyramid import build_pyramid_stacks
+
+    cfg = klt.TrackingConfig(sequential_mode=True,
+                             affine_consistency_check=2)
+    fl = _seed_from_oracle()
+    def pyr_state(img):
+        stacks = build_pyramid_stacks(jnp.asarray(img, jnp.float32),
+                                      cfg)
+        return ([s[0] for s in stacks], [s[1] for s in stacks],
+                [s[2] for s in stacks])
+
+    st1 = pyr_state(provided_frames[0])
+    st2 = pyr_state(provided_frames[1])
+    n = 150
+    state = aff.AffineState.create(n, cfg)
+    x = jnp.asarray(fl.x)
+    y = jnp.asarray(fl.y)
+    v = jnp.asarray(fl.val)
+
+    def run():
+        s = aff.AffineState.create(n, cfg)
+        # first step saves patches; second step exercises the GN loop
+        x1, y1, v1 = aff.affine_consistency_step(
+            s, st1, st1, x, y, v, x, y, v, cfg)
+        return aff.affine_consistency_step(
+            s, st1, st2, x, y, v,
+            x + 0.3, y - 0.2, v1, cfg), s
+
+    (xa, ya, va), sa = run()
+
+    monkeypatch.setattr(aff, "_COMPACT", False)
+    aff._affine_step_jit._clear_cache()
+    (xb, yb, vb), sb = run()
+    monkeypatch.undo()
+    aff._affine_step_jit._clear_cache()
+
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+    np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+    for fa, fb in zip((sa.axx, sa.ayx, sa.axy, sa.ayy),
+                      (sb.axx, sb.ayx, sb.axy, sb.ayy)):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
 def test_lighting_sequence(provided_frames):
     cfg = klt.TrackingConfig(sequential_mode=True,
                              lighting_insensitive=True)
