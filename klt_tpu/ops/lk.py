@@ -230,7 +230,8 @@ def level_carry_eligible(nr: int, nc: int, cfg: TrackingConfig) -> bool:
 
 def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
                         cfg: TrackingConfig, carry_in=None,
-                        want_carry=False, stale=None):
+                        want_carry=False, stale=None,
+                        want_residue=True):
     """track_level with the whole Newton loop in one Pallas kernel per
     anchor round (klt_tpu/pallas/lk.py).  Semantics mirror the fast
     path below; the outer re-anchor loop stays in XLA.
@@ -288,7 +289,8 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
         # the row-major canvas via a transpose (measured slower).
         layout = "cr" if exmode == "ds2" else "rc"
         inner = functools.partial(lk2.lk_level_inner_flat,
-                                  layout=layout)
+                                  layout=layout,
+                                  want_residue=want_residue)
 
         def _ds_flat(stack, y0, x0, ny, nx):
             out = jax.vmap(lambda ys, xs: jax.lax.dynamic_slice(
@@ -303,11 +305,13 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
         p1w = _ds_flat(stack1, y10, x10, h + 1, w + 1)
         extract2 = lambda py0, px0: _ds_flat(stack2, py0, px0, k, k)
     elif use_v2:
-        inner = lk2.lk_level_inner_flat
+        inner = functools.partial(lk2.lk_level_inner_flat,
+                                  want_residue=want_residue)
         extract2 = lambda py0, px0: extract_flat(sp2, py0, px0, k, k, k)
         p1w = None  # set below (possibly merged with round-1 p2)
     else:
-        inner = lk_level_inner
+        inner = functools.partial(lk_level_inner,
+                                  want_residue=want_residue)
         p1w = extract_packed_cb(sp1, y10, x10, h + 1, w + 1)
         extract2 = lambda py0, px0: extract_packed_cb(sp2, py0, px0,
                                                       k, k)
@@ -420,7 +424,7 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
 
 def track_level(stack1, stack2, x1, y1, x2, y2, active,
                 cfg: TrackingConfig, carry_in=None, want_carry=False,
-                stale=None):
+                stale=None, want_residue=True):
     """One pyramid level of batched LK — patch-resident fast path.
 
     stack1/stack2: [3, H, W] f32 (intensity, gradx, grady) of the two
@@ -449,7 +453,8 @@ def track_level(stack1, stack2, x1, y1, x2, y2, active,
             and max(h, w) + 3 <= _k):
         return _track_level_kernel(stack1, stack2, x1, y1, x2, y2,
                                    active, cfg, carry_in=carry_in,
-                                   want_carry=want_carry, stale=stale)
+                                   want_carry=want_carry, stale=stale,
+                                   want_residue=want_residue)
     assert not want_carry
 
     hw, hh = np.float32(w // 2), np.float32(h // 2)
@@ -650,11 +655,12 @@ def track_features_pyramid_stacks(stacks1, stacks2, x, y, val,
             (x2, y2, st, _), carries_out[slot[r]] = track_level(
                 stacks1[r], stacks2[r], xloc, yloc, xout, yout,
                 in_loop, cfg, carry_in=cin, want_carry=True,
-                stale=stale)
+                stale=stale, want_residue=(r == 0))
         else:
             x2, y2, st, _ = track_level(stacks1[r], stacks2[r],
                                         xloc, yloc, xout, yout,
-                                        in_loop, cfg)
+                                        in_loop, cfg,
+                                        want_residue=(r == 0))
 
         xout = jnp.where(in_loop, x2, xout)
         yout = jnp.where(in_loop, y2, yout)

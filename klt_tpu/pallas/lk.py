@@ -57,7 +57,8 @@ def _wsum(x):
     return jnp.sum(s2[:, :, 0], axis=1, keepdims=True)
 
 
-def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int):
+def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
+                 want_residue: bool = True):
     w, h = cfg.window_width, cfg.window_height
     hw, hh = np.float32(w // 2), np.float32(h // 2)
     hwi, hhi = w // 2, h // 2
@@ -201,14 +202,20 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int):
              is_ref[:, ISTATUS:ISTATUS + 1], is_ref[:, IITERS:IITERS + 1],
              is_ref[:, IDONE:IDONE + 1], jnp.int32(0)))
 
-        # residue at final position from the (clamped) patch — consumed
-        # only for TRACKED lanes, whose last step was < min_displacement
-        g2, _, _, _ = sample(x2f, y2f)
-        if lighting:
-            diff = gain_bias_diff(g1, g2)
+        if want_residue:
+            # residue at final position from the (clamped) patch —
+            # consumed only for TRACKED lanes, whose last step was
+            # < min_displacement
+            g2, _, _, _ = sample(x2f, y2f)
+            if lighting:
+                diff = gain_bias_diff(g1, g2)
+            else:
+                diff = g1 - g2
+            res = _wsum(jnp.abs(diff)) / area
         else:
-            diff = g1 - g2
-        res = _wsum(jnp.abs(diff)) / area
+            # coarser levels: LARGE_RESIDUE is overwritten by the next
+            # level (only SMALL_DET/OOB break the reference level loop)
+            res = jnp.zeros_like(x2f)
 
         fso[:] = jnp.concatenate([x2f, y2f], axis=1)
         iso[:] = jnp.concatenate(
@@ -226,10 +233,10 @@ FEATURE_BLOCK = 512
 
 @functools.lru_cache(maxsize=64)
 def _inner_call(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
-                fb: int):
+                fb: int, want_residue: bool = True):
     from . import interpret_mode
     w, h = cfg.window_width, cfg.window_height
-    kernel = _make_kernel(cfg, k, nc, nr, fb)
+    kernel = _make_kernel(cfg, k, nc, nr, fb, want_residue)
     n_blocks = f // fb
     bspec = lambda shape: pl.BlockSpec(
         (fb,) + shape, lambda i: (i,) + (0,) * len(shape))
@@ -249,7 +256,7 @@ def _inner_call(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
 
 
 def lk_level_inner(p1w, p2, fstate, istate, cfg: TrackingConfig, k: int,
-                   nc: int, nr: int):
+                   nc: int, nr: int, want_residue: bool = True):
     """Run the masked Newton loop for one level on resident patches.
 
     p1w: [F, h+1, 3*(w+1)] first-image raw windows; p2: [F, K, 3K]
@@ -269,7 +276,7 @@ def lk_level_inner(p1w, p2, fstate, istate, cfg: TrackingConfig, k: int,
         # padded lanes: done=1 so the loop ignores them
         ipad = jnp.zeros((pad, 4), jnp.int32).at[:, IDONE].set(1)
         istate = jnp.concatenate([istate, ipad])
-    call = _inner_call(cfg, k, nc, nr, f + pad, fb)
+    call = _inner_call(cfg, k, nc, nr, f + pad, fb, want_residue)
     fout, iout, res = call(p1w, p2, fstate, istate)
     if pad:
         fout, iout, res = fout[:f], iout[:f], res[:f]

@@ -53,7 +53,7 @@ ISTATUS, IITERS, IDONE, IOOB1, IO1Y, IO1X = range(6)
 
 
 def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
-                 layout: str = "rc"):
+                 layout: str = "rc", want_residue: bool = True):
     w, h = cfg.window_width, cfg.window_height
     hw, hh = np.float32(w // 2), np.float32(h // 2)
     hwi, hhi = w // 2, h // 2
@@ -275,14 +275,21 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
              is_ref[:, ISTATUS:ISTATUS + 1], is_ref[:, IITERS:IITERS + 1],
              is_ref[:, IDONE:IDONE + 1], jnp.int32(0)))
 
-        # residue at the final (clamped) position
-        b2, _ = sample(x2f, y2f)
-        if lighting:
-            _, _, _, C = newton(b2)
-            diff = C
+        if want_residue:
+            # residue at the final (clamped) position
+            b2, _ = sample(x2f, y2f)
+            if lighting:
+                _, _, _, C = newton(b2)
+                diff = C
+            else:
+                diff = b1 + b2 * sign
+            res = reduce_win(jnp.abs(diff) * m_c0)[:, 0:1] / area
         else:
-            diff = b1 + b2 * sign
-        res = reduce_win(jnp.abs(diff) * m_c0)[:, 0:1] / area
+            # residue is consumed only at the finest level (the level
+            # loop overwrites LARGE_RESIDUE, src/V1/trackFeatures.c:
+            # 1378: only SMALL_DET/OOB break) — coarser levels skip
+            # the final sample + reduction
+            res = jnp.zeros_like(x2f)
 
         fso[:] = jnp.concatenate([x2f, y2f], axis=1)
         iso[:] = jnp.concatenate(
@@ -317,9 +324,9 @@ FEATURE_BLOCK = int(os.environ.get("KLT_TPU_FEATURE_BLOCK", "512"))
 
 @functools.lru_cache(maxsize=64)
 def _inner_call(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
-                fb: int, layout: str):
+                fb: int, layout: str, want_residue: bool = True):
     from . import interpret_mode
-    kernel = _make_kernel(cfg, k, nc, nr, fb, layout)
+    kernel = _make_kernel(cfg, k, nc, nr, fb, layout, want_residue)
     n_blocks = f // fb
     L = 3 * k * k
     bspec = lambda lanes: pl.BlockSpec((fb, lanes), lambda i: (i, 0))
@@ -338,7 +345,8 @@ def _inner_call(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
 
 
 def lk_level_inner_flat(p1, p2, fstate, istate, cfg: TrackingConfig,
-                        k: int, nc: int, nr: int, layout: str = "rc"):
+                        k: int, nc: int, nr: int, layout: str = "rc",
+                        want_residue: bool = True):
     """v2 entry: p1, p2 are [F, 3*k*k] flattened-lane patches sharing
     the SAME canvas geometry.  p1 holds the (h+1) x (w+1) first-image
     window at canvas offset (istate[:, IO1Y], istate[:, IO1X]) — (0, 0)
@@ -361,7 +369,8 @@ def lk_level_inner_flat(p1, p2, fstate, istate, cfg: TrackingConfig,
         p1, p2, fstate = zf(p1), zf(p2), zf(fstate)
         ipad = jnp.zeros((pad, 6), jnp.int32).at[:, IDONE].set(1)
         istate = jnp.concatenate([istate, ipad])
-    call = _inner_call(cfg, k, nc, nr, f + pad, fb, layout)
+    call = _inner_call(cfg, k, nc, nr, f + pad, fb, layout,
+                       want_residue)
     fout, iout, res = call(p1, p2, fstate, istate)
     if pad:
         fout, iout, res = fout[:f], iout[:f], res[:f]

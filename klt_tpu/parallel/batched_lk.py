@@ -25,7 +25,7 @@ from ..ops.pyramid import build_image_pyramids
 
 def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
                                 cfg: TrackingConfig, carry_in=None,
-                                want_carry=False):
+                                want_carry=False, want_residue=True):
     """Batched variant of ops.lk._track_level_kernel.
 
     sp1/sp2: channel-PACKED stacks [B, H, 3W] (pack_stack_channels);
@@ -74,10 +74,12 @@ def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
     from ..pallas import lk2
     use_v2 = (os.environ.get("KLT_TPU_LK_V1", "0") != "1"
               and lk2.supported(cfg, k))
+    import functools as _ft
     if use_v2:
         from ..ops.interp import extract_flat, extract_flat_rows, \
             _ROWS_MIN_F
-        inner = lk2.lk_level_inner_flat
+        inner = _ft.partial(lk2.lk_level_inner_flat,
+                            want_residue=want_residue)
         L = 3 * k * k
         # formulation choice is by TOTAL feature count B*F (each vmap
         # lane only sees F, but the einsums batch over B)
@@ -105,7 +107,7 @@ def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
         extract2 = lambda py0, px0: exf(sp2, py0, px0, k, k,
                                         k).reshape(n, L)
     else:
-        inner = lk_level_inner
+        inner = _ft.partial(lk_level_inner, want_residue=want_residue)
         extract = jax.vmap(extract_packed_cb,
                            in_axes=(0, 0, 0, None, None))
         p1w = extract(sp1, y10, x10, h + 1, w + 1).reshape(
@@ -206,7 +208,7 @@ def carry_eligible(nr: int, nc: int, cfg: TrackingConfig) -> bool:
 
 def _track_level_batched(sp1, sp2, x1, y1, x2, y2, active,
                          cfg: TrackingConfig, carry_in=None,
-                         want_carry=False):
+                         want_carry=False, want_residue=True):
     """Batched track_level with ops.lk.track_level's static shape
     dispatch: a level smaller than the tracking window is all-OOB, and
     a level smaller than the kernel patch falls back to the per-sequence
@@ -228,7 +230,8 @@ def _track_level_batched(sp1, sp2, x1, y1, x2, y2, active,
         return _track_level_kernel_batched(sp1, sp2, x1, y1,
                                            x2, y2, active, cfg,
                                            carry_in=carry_in,
-                                           want_carry=want_carry)
+                                           want_carry=want_carry,
+                                           want_residue=want_residue)
     assert not want_carry, "carry requires the kernel path"
     return jax.vmap(
         lambda s1, s2, a, b, c, d, m:
@@ -302,11 +305,13 @@ def track_features_pyramid_batched_carry(sps1, sps2, x, y, val,
             cin = carries[slot[r]] if carries is not None else None
             (x2, y2, st, _), cout = _track_level_batched(
                 sps1[r], sps2[r], xloc, yloc, xout, yout, in_loop,
-                cfg, carry_in=cin, want_carry=True)
+                cfg, carry_in=cin, want_carry=True,
+                want_residue=(r == 0))
             carries_out[slot[r]] = cout
         else:
             x2, y2, st, _ = _track_level_batched(
-                sps1[r], sps2[r], xloc, yloc, xout, yout, in_loop, cfg)
+                sps1[r], sps2[r], xloc, yloc, xout, yout, in_loop, cfg,
+                want_residue=(r == 0))
 
         xout = jnp.where(in_loop, x2, xout)
         yout = jnp.where(in_loop, y2, yout)
