@@ -392,9 +392,25 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
     # lanes), then the while_loop tail handles stragglers.
     (x2f, y2f, status, iters, done, residue, p2l, py0l,
      px0l) = round_once(x2, y2, status0, iters0, done0, p2=p2_first)
-    for _ in range(cfg.reanchor_unroll):
+    if os.environ.get("KLT_TPU_COND_REANCHOR", "0") == "1":
+        # cond-gate the unrolled rounds: when no lane stalled, the
+        # round is a no-op whose extraction cost can be skipped
+        # entirely (bit-exact: a no-op round only refreshes the canvas
+        # anchor, and the canvas holds exact image content either way)
+        def _ro(s):
+            return round_once(s[0], s[1], s[2], s[3], s[4])
+
+        st_r = (x2f, y2f, status, iters, done, residue, p2l, py0l,
+                px0l)
+        for _ in range(cfg.reanchor_unroll):
+            st_r = jax.lax.cond(jnp.any(st_r[4] == 0), _ro,
+                                lambda s: s, st_r)
         (x2f, y2f, status, iters, done, residue, p2l, py0l,
-         px0l) = round_once(x2f, y2f, status, iters, done)
+         px0l) = st_r
+    else:
+        for _ in range(cfg.reanchor_unroll):
+            (x2f, y2f, status, iters, done, residue, p2l, py0l,
+             px0l) = round_once(x2f, y2f, status, iters, done)
 
     def outer(state):
         rounds, x2c, y2c, status, iters, done = state[:6]

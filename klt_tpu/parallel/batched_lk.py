@@ -150,9 +150,21 @@ def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
     # deterministic no-ops for converged lanes)
     (x2c, y2c, status, iters, done, residue, p2l, py0l,
      px0l) = round_once(x2f0, y2f0, status0, iters0, done0)
-    for _ in range(cfg.reanchor_unroll):
+    if os.environ.get("KLT_TPU_COND_REANCHOR", "0") == "1":
+        def _ro(s):
+            return round_once(s[0], s[1], s[2], s[3], s[4])
+
+        st_r = (x2c, y2c, status, iters, done, residue, p2l, py0l,
+                px0l)
+        for _ in range(cfg.reanchor_unroll):
+            st_r = jax.lax.cond(jnp.any(st_r[4] == 0), _ro,
+                                lambda s: s, st_r)
         (x2c, y2c, status, iters, done, residue, p2l, py0l,
-         px0l) = round_once(x2c, y2c, status, iters, done)
+         px0l) = st_r
+    else:
+        for _ in range(cfg.reanchor_unroll):
+            (x2c, y2c, status, iters, done, residue, p2l, py0l,
+             px0l) = round_once(x2c, y2c, status, iters, done)
 
     def outer(state):
         rounds, x2c, y2c, status, iters, done = state[:6]

@@ -63,12 +63,43 @@ def main():
     r = track_sequence(fd, x0, y0, v0, cfg)
     jax.block_until_ready(r)
     n_pairs = frames.shape[0] - 1
-    reps = 30
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        r = track_sequence(fd, x0, y0, v0, cfg)
-    jax.block_until_ready(r)
-    wall_per_pair = (time.perf_counter() - t0) / (reps * n_pairs)
+
+    def timed(fn, reps=30):
+        r = fn()
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = fn()
+        jax.block_until_ready(r)
+        return (time.perf_counter() - t0) / (reps * n_pairs)
+
+    wall_per_pair = timed(lambda: track_sequence(fd, x0, y0, v0, cfg))
+
+    # ----- ablation time budget (attribution sums to the wall by
+    # construction — the tunneled profiler drops whole event
+    # categories, so traced shares alone cannot account for the pair) -
+    from klt_tpu.ops.pyramid import build_pyramid_stacks
+    import dataclasses
+
+    @jax.jit
+    def pyr_only(fb):
+        def body(carry, img):
+            st = build_pyramid_stacks(img, cfg)
+            probe = sum(s[0, 0, :8].sum() for s in st)
+            return carry + probe, probe
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), fb[1:])
+        return acc
+
+    cfg_i1 = dataclasses.replace(cfg, max_iterations=1)
+    t_pyr = timed(lambda: pyr_only(fd))
+    t_i1 = timed(lambda: track_sequence(fd, x0, y0, v0, cfg_i1))
+    budget = {
+        "pyramid_us": round(t_pyr * 1e6, 1),
+        "first_iteration_round_us": round((t_i1 - t_pyr) * 1e6, 1),
+        "newton_tail_us": round((wall_per_pair - t_i1) * 1e6, 1),
+        "total_us": round(wall_per_pair * 1e6, 1),
+        "attributed": 1.0,
+    }
 
     # several independent small capture windows, merged by per-key MAX
     # us/run (robust to per-window event drops)
@@ -158,6 +189,7 @@ def main():
     out = {
         "device": str(jax.devices()[0]),
         "wall_us_per_pair": round(wall_per_pair * 1e6, 1),
+        "ablation_budget": budget,
         "device_us_per_pair_traced": round(device_per_pair, 1),
         "trace_completeness": round(
             min(device_per_pair / max(wall_per_pair * 1e6, 1e-9), 1.0),
