@@ -166,9 +166,67 @@ def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
             (x2c, y2c, status, iters, done, residue, p2l, py0l,
              px0l) = round_once(x2c, y2c, status, iters, done)
 
+    # Stall-compaction for the re-anchor tail: after the first round,
+    # the only not-done lanes are stalls/stragglers (typically a
+    # handful of the B*F lanes), yet each tail round pays a FULL-width
+    # p2 extraction + kernel launch.  Gather the active lanes into an
+    # M-wide state, extract/track only those, and scatter back.
+    # Bit-exact: a lane's trajectory is independent of its canvas
+    # anchor (the sampled window content is identical image data) and
+    # of its block's other lanes (all kernel ops are lane-masked).
+    M_TAIL = 128
+    _tc_min = int(os.environ.get("KLT_TPU_STALL_COMPACT_MIN",
+                                 str(4 * M_TAIL)))
+    tail_compact = (use_v2 and n >= _tc_min and
+                    os.environ.get("KLT_TPU_STALL_COMPACT", "1") == "1")
+    if tail_compact:
+        sp2_flat = sp2.reshape(b * nr, cw)
+
     def outer(state):
         rounds, x2c, y2c, status, iters, done = state[:6]
-        out = round_once(x2c, y2c, status, iters, done)
+        residue_c, p2l_c, py0l_c, px0l_c = state[6:]
+        if not tail_compact:
+            out = round_once(x2c, y2c, status, iters, done)
+            return (rounds + 1,) + out
+
+        act = done == 0
+        cnt = jnp.sum(act.astype(jnp.int32))
+
+        def full_round(_):
+            return round_once(x2c, y2c, status, iters, done)
+
+        def compact_round(_):
+            slots = jnp.cumsum(act.astype(jnp.int32)) - 1
+            tgt = jnp.where(act, slots, M_TAIL)
+            idx = jnp.zeros((M_TAIL,), jnp.int32).at[tgt].set(
+                jnp.arange(n, dtype=jnp.int32), mode="drop")
+            pad = jnp.arange(M_TAIL, dtype=jnp.int32) >= cnt
+            g = lambda a: jnp.take(a, idx, axis=0)
+            x2g, y2g = g(x2c), g(y2c)
+            dng = jnp.where(pad, 1, g(done))
+            py0 = jnp.clip(y2g.astype(jnp.int32) - hhi - margin_y,
+                           0, nr - k)
+            px0 = jnp.clip(x2g.astype(jnp.int32) - hwi - margin_x,
+                           0, nc - k)
+            bidx = idx // f
+            p2 = extract_flat(sp2_flat, py0 + bidx * nr, px0, k, k, k)
+            fst = jnp.concatenate(
+                [x2g[:, None], y2g[:, None], g(ax1c), g(ay1c),
+                 px0.astype(jnp.float32)[:, None],
+                 py0.astype(jnp.float32)[:, None]], axis=1)
+            ist = jnp.concatenate(
+                [g(status)[:, None], g(iters)[:, None], dng[:, None],
+                 g(oob1_i), g(o1_cols)], axis=1)
+            fo, io, rs = inner(g(p1w), p2, fst, ist, cfg, k, nc, nr)
+            sidx = jnp.where(pad, n, idx)
+            sc = lambda full, v: full.at[sidx].set(v, mode="drop")
+            return (sc(x2c, fo[:, 0]), sc(y2c, fo[:, 1]),
+                    sc(status, io[:, 0]), sc(iters, io[:, 1]),
+                    sc(done, io[:, 2]), sc(residue_c, rs),
+                    sc(p2l_c, p2), sc(py0l_c, py0), sc(px0l_c, px0))
+
+        out = jax.lax.cond(cnt <= M_TAIL, compact_round, full_round,
+                           None)
         return (rounds + 1,) + out
 
     def outer_going(state):

@@ -90,6 +90,36 @@ def test_lk_kernel_matches_gather_oracle(provided_frames, interpret_pallas,
         np.testing.assert_allclose(ry[both], oy[both], atol=1e-3)
 
 
+def test_stall_compaction_bit_exact(provided_frames, interpret_pallas,
+                                    monkeypatch):
+    """The re-anchor tail's stall-compaction (gather stragglers into an
+    M-wide state) must be bit-identical to full-width tail rounds."""
+    import klt_tpu.ops.lk as LK
+    cfg = TrackingConfig()
+    img0 = np.asarray(provided_frames[0])
+    img1 = np.asarray(provided_frames[1])
+    p0 = _oracle_pyramids(jnp.asarray(img0), cfg, monkeypatch)
+    p1 = _oracle_pyramids(jnp.asarray(img1), cfg, monkeypatch)
+    s1 = jnp.stack([p0[0][0], p0[1][0], p0[2][0]])
+    s2 = jnp.stack([p1[0][0], p1[1][0], p1[2][0]])
+    h, w = s1.shape[-2], s1.shape[-1]
+
+    rng = np.random.RandomState(11)
+    n = 640  # >= the default compaction threshold (512)
+    x = jnp.asarray(rng.uniform(15, w - 15, n).astype(np.float32))
+    y = jnp.asarray(rng.uniform(15, h - 15, n).astype(np.float32))
+    act = jnp.asarray(rng.rand(n) > 0.05)
+
+    monkeypatch.setenv("KLT_TPU_STALL_COMPACT", "0")
+    ref = jax.jit(lambda *a: LK._track_level_kernel(*a, cfg))(
+        s1, s2, x, y, x, y, act)
+    monkeypatch.setenv("KLT_TPU_STALL_COMPACT", "1")
+    out = jax.jit(lambda *a: LK._track_level_kernel(*a, cfg))(
+        s1, s2, x, y, x, y, act)
+    for r, o in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
+
+
 @pytest.mark.slow
 def test_lk2_channel_major_layout_matches(provided_frames, monkeypatch):
     """The v2 kernel's channel-major ('cr') lane layout — used by the

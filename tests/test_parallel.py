@@ -131,7 +131,9 @@ def test_batched_matches_single_odd_sizes(provided_frames, monkeypatch):
     cfg = TrackingConfig(sequential_mode=True)
     frames = np.stack(provided_frames[:4])
     rng = np.random.RandomState(9)
-    for b, n in ((3, 37), (2, 130)):
+    # (2, 300): 600 lanes crosses the stall-compaction threshold (512)
+    # so the batched compact tail is exercised too
+    for b, n in ((3, 37), (2, 130), (2, 300)):
         x = rng.uniform(30, 290, (b, n)).astype(np.float32)
         y = rng.uniform(30, 210, (b, n)).astype(np.float32)
         v = np.zeros((b, n), np.int32)
