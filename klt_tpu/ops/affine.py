@@ -188,6 +188,9 @@ import os
 _COMPACT = os.environ.get("KLT_TPU_AFFINE_COMPACT", "1") != "0"
 _COMPACT_PRE = int(os.environ.get("KLT_TPU_AFFINE_COMPACT_PRE", "2"))
 _GATHER_ONEHOT = os.environ.get("KLT_TPU_AFFINE_GATHER", "take") == "onehot"
+# resident-patch extraction backend: "ds" (vmapped dynamic_slice block
+# gather) or "cb" (one-hot band matmuls); bit-equal, perf differs
+_RESIDENT_DS = os.environ.get("KLT_TPU_AFFINE_RESIDENT", "cb") == "ds"
 
 
 def _gather_rows(a, idx):
@@ -240,12 +243,29 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
     presf = np.float32(pres)
     have_res = min(nr2, nc2) >= pres
     if have_res:
-        sp2 = pack_stack_channels(jnp.stack([img2, gradx2, grady2]))
         pa_x0 = jnp.clip(x2_in.astype(jnp.int32) - pres // 2, 0,
                          nc2 - pres)
         pa_y0 = jnp.clip(y2_in.astype(jnp.int32) - pres // 2, 0,
                          nr2 - pres)
-        resid_full = extract_packed_cb(sp2, pa_y0, pa_x0, pres, pres)
+        if _RESIDENT_DS:
+            # contiguous block gather: the one-hot band formulation
+            # materializes [N*P, 3W] (737 MB at N=2000, P=48); a
+            # vmapped dynamic_slice of [3, P, P] blocks moves only the
+            # patches themselves (bit-equal — integer-aligned copies)
+            st2 = jnp.stack([img2, gradx2, grady2])
+
+            def one(ys, xs):
+                return jax.lax.dynamic_slice(st2, (0, ys, xs),
+                                             (3, pres, pres))
+
+            p = jax.vmap(one)(pa_y0, pa_x0)
+            resid_full = p.transpose(0, 2, 1, 3).reshape(
+                -1, pres, 3 * pres)
+        else:
+            sp2 = pack_stack_channels(
+                jnp.stack([img2, gradx2, grady2]))
+            resid_full = extract_packed_cb(sp2, pa_y0, pa_x0, pres,
+                                           pres)
     else:
         resid_full = pa_x0 = pa_y0 = None
 
