@@ -168,6 +168,7 @@ def bench_flagship_batched(jax, jnp, klt, out):
         vs_last = np.asarray(rt[2][-1][0])
         out["flagship_batched_throughput"] = {
             "batch": b,
+            "frames": int(frames.shape[0]),
             "aggregate_frames_per_s": round(agg, 1),
             "vs_baseline_fps": round(agg / CPU_BASELINE_FPS, 1),
             "tracked_features_per_s": round(agg * 150, 0),
@@ -358,6 +359,7 @@ def bench_batched_3x4096(jax, jnp, klt, out):
     dt = (time.perf_counter() - t0) / reps
     agg = 3 * (t_frames - 1) / dt
     out["batched_3seq_4096feat"] = {
+        "frames": t_frames,
         "aggregate_frames_per_s": round(agg, 1),
         "tracked_features_per_s": round(agg * n, 0),
         "final_live_features": [int((np.asarray(r[2][-1][b]) >= 0).sum())
