@@ -452,7 +452,11 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
 
     n_lanes = int(x2_in.shape[0])
     max_it = cfg.affine_max_iterations
-    m_c = max(128, -(-(-(-n_lanes // 4)) // 128) * 128)  # ceil(n/4) -> x128
+    # CPU-measured convergence on laptops (2000 feat): <= 8 lanes still
+    # active after 2 iterations, so a fixed narrow width suffices (the
+    # full-width cond branch handles pathological frames)
+    m_c = min(int(os.environ.get("KLT_TPU_AFFINE_COMPACT_M", "128")),
+              -(-n_lanes // 128) * 128)
     do_compact = _COMPACT and m_c < n_lanes and max_it > _COMPACT_PRE
 
     if not do_compact:
