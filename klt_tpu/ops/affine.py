@@ -563,14 +563,27 @@ def _affine_step_jit(valid, pimg, pgx, pgy, ax_c, ay_c, axx, ayx, axy, ayy,
     # pre-track position in image 1 (src/V1/trackFeatures.c:1445-1454).
     nr1, nc1 = img1.shape
     if min(nr1, nc1) >= max(ph, pw):
-        # gather-free path: one packed-stack extraction for all 3 maps
-        sp1 = pack_stack_channels(jnp.stack([img1, gradx1, grady1]))
         px0 = jnp.clip(x_old.astype(jnp.int32) - pw // 2, 0, nc1 - pw)
         py0 = jnp.clip(y_old.astype(jnp.int32) - ph // 2, 0, nr1 - ph)
-        newp = extract_packed_cb(sp1, py0, px0, ph, pw)
-        new_img = newp[:, :, :pw]
-        new_gx = newp[:, :, pw:2 * pw]
-        new_gy = newp[:, :, 2 * pw:]
+        if _RESIDENT_DS:
+            st1 = jnp.stack([img1, gradx1, grady1])
+
+            def one(ys, xs):
+                return jax.lax.dynamic_slice(st1, (0, ys, xs),
+                                             (3, ph, pw))
+
+            p3 = jax.vmap(one)(py0, px0)
+            new_img = p3[:, 0]
+            new_gx = p3[:, 1]
+            new_gy = p3[:, 2]
+        else:
+            # packed-stack one-hot extraction for all 3 maps
+            sp1 = pack_stack_channels(jnp.stack([img1, gradx1,
+                                                 grady1]))
+            newp = extract_packed_cb(sp1, py0, px0, ph, pw)
+            new_img = newp[:, :, :pw]
+            new_gx = newp[:, :, pw:2 * pw]
+            new_gy = newp[:, :, 2 * pw:]
     else:
         new_img = _extract_patches(img1, x_old, y_old, ph, pw)
         new_gx = _extract_patches(gradx1, x_old, y_old, ph, pw)
