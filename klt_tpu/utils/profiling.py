@@ -41,30 +41,64 @@ def _latest_trace_json(log_dir: str) -> str:
 def op_breakdown(log_dir: str, runs: int = 1, top: int = 30):
     """[(us_per_run, count_per_run, category, source), ...] sorted by time.
 
-    Aggregates complete events on device tracks, skipping container ops
-    (whiles, jit wrappers) so leaf kernel time is counted once.
+    SELF-time accounting on the device "XLA Ops" track: each event is
+    charged its duration minus its nested children's, so containers
+    (while/jit/closed_call wrappers) contribute only their scheduling
+    overhead and leaves — including `closed_call.*` custom-call kernels,
+    which a name-based skip-list used to drop entirely (that was the
+    round-2 "trace completeness 0.33" mystery: the LK kernel's whole
+    budget sat inside skipped closed_call events) — are counted once.
     """
     with gzip.open(_latest_trace_json(log_dir)) as f:
         t = json.load(f)
     ev = t["traceEvents"]
     pids = {}
+    tnames = {}
     for e in ev:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pids[e["pid"]] = e["args"].get("name", "")
+        elif e.get("ph") == "M" and e.get("name") == "thread_name":
+            tnames[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    dev = {p for p, nm in pids.items() if nm.startswith("/device")}
+    if not dev:
+        dev = {p for p, nm in pids.items() if "TPU" in nm.upper()}
+
+    tracks = collections.defaultdict(list)
+    for e in ev:
+        if e.get("ph") != "X" or "dur" not in e or e.get("pid") not in dev:
+            continue
+        tname = tnames.get((e["pid"], e["tid"]), "")
+        if tname and tname != "XLA Ops":
+            continue  # Modules/Async/overlay tracks mirror op time
+        tracks[(e["pid"], e.get("tid"))].append(e)
+
     agg = collections.Counter()
     cnt = collections.Counter()
-    for e in ev:
-        if e.get("ph") != "X" or "dur" not in e:
-            continue
-        if not pids.get(e["pid"], "").startswith("/device"):
-            continue
-        name = e.get("name", "")
-        if name.startswith(("while", "jit", "closed_call")):
-            continue
+
+    def account(e, child_dur):
+        self_t = max(e["dur"] - child_dur, 0.0)
         a = e.get("args", {})
-        key = (a.get("hlo_category", "?"), a.get("source", name))
-        agg[key] += e["dur"]
+        key = (a.get("hlo_category", "?"),
+               a.get("source", e.get("name", "")))
+        agg[key] += self_t
         cnt[key] += 1
+
+    for tr in tracks.values():
+        tr.sort(key=lambda e: (e["ts"], -e["dur"]))
+        stack = []  # [end_ts, child_dur, event]
+
+        def close_until(ts):
+            while stack and stack[-1][0] <= ts + 1e-9:
+                _, ch, pe = stack.pop()
+                account(pe, ch)
+                if stack:
+                    stack[-1][1] += pe["dur"]
+
+        for e in tr:
+            close_until(e["ts"])
+            stack.append([e["ts"] + e["dur"], 0.0, e])
+        close_until(float("inf"))
+
     rows = [(d / runs, cnt[k] / runs, k[0], k[1])
             for k, d in agg.most_common(top)]
     return rows
