@@ -561,45 +561,57 @@ def _affine_step_jit(valid, pimg, pgx, pgy, ax_c, ay_c, axx, ayx, axy, ayy,
 
     # Save reference patches for first-time-tracked features at their
     # pre-track position in image 1 (src/V1/trackFeatures.c:1445-1454).
-    nr1, nc1 = img1.shape
-    if min(nr1, nc1) >= max(ph, pw):
-        px0 = jnp.clip(x_old.astype(jnp.int32) - pw // 2, 0, nc1 - pw)
-        py0 = jnp.clip(y_old.astype(jnp.int32) - ph // 2, 0, nr1 - ph)
-        if _RESIDENT_DS:
-            st1 = jnp.stack([img1, gradx1, grady1])
+    # Without replacement, init_mask is non-empty only on the FIRST
+    # tracked frame (a killed feature never re-validates), so the whole
+    # save block — including its patch extraction — is cond-gated.
+    def save_patches(args):
+        pimg, pgx, pgy, ax_c, ay_c, axx, ayx, axy, ayy = args
+        nr1, nc1 = img1.shape
+        if min(nr1, nc1) >= max(ph, pw):
+            px0 = jnp.clip(x_old.astype(jnp.int32) - pw // 2, 0,
+                           nc1 - pw)
+            py0 = jnp.clip(y_old.astype(jnp.int32) - ph // 2, 0,
+                           nr1 - ph)
+            if _RESIDENT_DS:
+                st1 = jnp.stack([img1, gradx1, grady1])
 
-            def one(ys, xs):
-                return jax.lax.dynamic_slice(st1, (0, ys, xs),
-                                             (3, ph, pw))
+                def one(ys, xs):
+                    return jax.lax.dynamic_slice(st1, (0, ys, xs),
+                                                 (3, ph, pw))
 
-            p3 = jax.vmap(one)(py0, px0)
-            new_img = p3[:, 0]
-            new_gx = p3[:, 1]
-            new_gy = p3[:, 2]
+                p3 = jax.vmap(one)(py0, px0)
+                new_img = p3[:, 0]
+                new_gx = p3[:, 1]
+                new_gy = p3[:, 2]
+            else:
+                # packed-stack one-hot extraction for all 3 maps
+                sp1 = pack_stack_channels(jnp.stack([img1, gradx1,
+                                                     grady1]))
+                newp = extract_packed_cb(sp1, py0, px0, ph, pw)
+                new_img = newp[:, :, :pw]
+                new_gx = newp[:, :, pw:2 * pw]
+                new_gy = newp[:, :, 2 * pw:]
         else:
-            # packed-stack one-hot extraction for all 3 maps
-            sp1 = pack_stack_channels(jnp.stack([img1, gradx1,
-                                                 grady1]))
-            newp = extract_packed_cb(sp1, py0, px0, ph, pw)
-            new_img = newp[:, :, :pw]
-            new_gx = newp[:, :, pw:2 * pw]
-            new_gy = newp[:, :, 2 * pw:]
-    else:
-        new_img = _extract_patches(img1, x_old, y_old, ph, pw)
-        new_gx = _extract_patches(gradx1, x_old, y_old, ph, pw)
-        new_gy = _extract_patches(grady1, x_old, y_old, ph, pw)
-    m3 = init_mask[:, None, None]
-    pimg = jnp.where(m3, new_img, pimg)
-    pgx = jnp.where(m3, new_gx, pgx)
-    pgy = jnp.where(m3, new_gy, pgy)
-    frac_x = x_old - x_old.astype(jnp.int32).astype(jnp.float32)
-    frac_y = y_old - y_old.astype(jnp.int32).astype(jnp.float32)
-    ax_c = jnp.where(init_mask, frac_x + pw // 2, ax_c)
-    ay_c = jnp.where(init_mask, frac_y + ph // 2, ay_c)
-    axx = jnp.where(init_mask, 1.0, axx)
-    ayx = jnp.where(init_mask, 0.0, ayx)
-    axy = jnp.where(init_mask, 0.0, axy)
-    ayy = jnp.where(init_mask, 1.0, ayy)
+            new_img = _extract_patches(img1, x_old, y_old, ph, pw)
+            new_gx = _extract_patches(gradx1, x_old, y_old, ph, pw)
+            new_gy = _extract_patches(grady1, x_old, y_old, ph, pw)
+        m3 = init_mask[:, None, None]
+        pimg = jnp.where(m3, new_img, pimg)
+        pgx = jnp.where(m3, new_gx, pgx)
+        pgy = jnp.where(m3, new_gy, pgy)
+        frac_x = x_old - x_old.astype(jnp.int32).astype(jnp.float32)
+        frac_y = y_old - y_old.astype(jnp.int32).astype(jnp.float32)
+        ax_c = jnp.where(init_mask, frac_x + pw // 2, ax_c)
+        ay_c = jnp.where(init_mask, frac_y + ph // 2, ay_c)
+        axx = jnp.where(init_mask, 1.0, axx)
+        ayx = jnp.where(init_mask, 0.0, ayx)
+        axy = jnp.where(init_mask, 0.0, axy)
+        ayy = jnp.where(init_mask, 1.0, ayy)
+        return pimg, pgx, pgy, ax_c, ay_c, axx, ayx, axy, ayy
+
+    (pimg, pgx, pgy, ax_c, ay_c, axx, ayx, axy, ayy) = jax.lax.cond(
+        jnp.any(init_mask), save_patches, lambda a: a,
+        (pimg, pgx, pgy, ax_c, ay_c, axx, ayx, axy, ayy))
 
     # Verify features that already have a reference patch.
     x2, y2, (axx_r, ayx_r, axy_r, ayy_r), st = track_affine(
