@@ -15,6 +15,8 @@ finite — the batched analogue of the CPU assert contract.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -355,6 +357,9 @@ def extract_flat(stack_packed: jax.Array, y0: jax.Array, x0: jax.Array,
     w_img = cw // c
     f = y0.shape[0]
     if f >= _ROWS_MIN_F:
+        if _TILED:
+            return extract_flat_tiled(stack_packed, y0, x0, ny, nx,
+                                      k, c)
         return extract_flat_rows(stack_packed, y0, x0, ny, nx, k, c)
     band, rem = _band_select(stack_packed, y0, ny)
 
@@ -412,6 +417,77 @@ def extract_flat_rows(stack_packed: jax.Array, y0: jax.Array,
               valid[None, None, :]).astype(jnp.float32)  # [F, C*W, c*k]
     out = jnp.einsum("frw,fwj->frj", band, col_oh, precision=prec,
                      preferred_element_type=jnp.float32)  # [F, ny, c*k]
+    if ny < k:
+        out = jnp.pad(out, ((0, 0), (0, k - ny), (0, 0)))
+    return out.reshape(f, c * k * k)
+
+
+_TILE_STRIDE = int(os.environ.get("KLT_TPU_EXTRACT_TILE_STRIDE", "16"))
+# default off until measured on hardware (KLT_TPU_EXTRACT_TILED=1)
+_TILED = os.environ.get("KLT_TPU_EXTRACT_TILED", "0") == "1"
+
+
+def extract_flat_tiled(stack_packed: jax.Array, y0: jax.Array,
+                       x0: jax.Array, ny: int, nx: int, k: int,
+                       c: int = 3, st: int = None) -> jax.Array:
+    """extract_flat via exact-row one-hot against a COLUMN-TILED image.
+
+    The exact-row band [F*ny, C*W] materializes the full image width
+    per selected row — 123 KB/feature at k=16 on 640-wide frames, and
+    HBM traffic on that band is the extraction wall from F~2000 up
+    (round-3 trace: ~60% of extraction time).  Tiling each channel
+    into (st)-stride, (st+k-1)-wide overlapping column strips stacked
+    VERTICALLY — [T*H, C*(st+k-1)] built once per (image, round) and
+    CSE'd by XLA — lets the row one-hot select (tile, row) pairs, so
+    the band is C*(st+k-1) wide (~6 KB/feature): the one-hot row
+    selection contracts over T*H instead of H (still strength-reduced
+    iota-compare), and the column one-hot shrinks by W/(st+k-1).
+
+    Bit-identical to extract_flat_rows: the tiled image holds the same
+    values, selection is 0/1 at the same precision.
+    """
+    prec = jax.lax.Precision.HIGH
+    if st is None:
+        st = _TILE_STRIDE
+    h, cw = stack_packed.shape
+    w_img = cw // c
+    f = y0.shape[0]
+    tw = st + k - 1
+    nt = (w_img - k) // st + 1 if w_img > k else 1
+    if nt <= 1 or tw >= w_img:
+        return extract_flat_rows(stack_packed, y0, x0, ny, nx, k, c)
+
+    # [T*H, C*tw] tiled image: tile t, channel ch holds packed cols
+    # [ch*W + t*st, ch*W + t*st + tw) (zero-padded past W; in-bounds
+    # x0 <= W-k never reads the padding)
+    pads = max(0, (nt - 1) * st + tw - w_img)
+    spp = jnp.pad(stack_packed.reshape(h, c, w_img),
+                  ((0, 0), (0, 0), (0, pads)))
+    tiles = [spp[:, :, t * st:t * st + tw].reshape(h, c * tw)
+             for t in range(nt)]
+    img_t = jnp.concatenate(tiles, axis=0)
+
+    tile = jnp.clip(x0 // st, 0, nt - 1)
+    x0l = x0 - tile * st
+    rows = ((tile * h + y0)[:, None] +
+            jnp.arange(ny, dtype=jnp.int32)[None, :]).reshape(-1)
+    hi = jnp.arange(nt * h, dtype=jnp.int32)
+    row_oh = (rows[:, None] == hi[None, :]).astype(jnp.float32)
+    band = jnp.dot(row_oh, img_t, precision=prec,
+                   preferred_element_type=jnp.float32)  # [F*ny, C*tw]
+    band = band.reshape(f, ny, c * tw)
+
+    j = jnp.arange(c * k, dtype=jnp.int32)
+    ch = j // k
+    i = j % k
+    target = ch * tw + i
+    valid = (i < nx)
+    wp = jnp.arange(c * tw, dtype=jnp.int32)
+    col_oh = (((x0l[:, None, None] + target[None, None, :]) ==
+               wp[None, :, None]) &
+              valid[None, None, :]).astype(jnp.float32)
+    out = jnp.einsum("frw,fwj->frj", band, col_oh, precision=prec,
+                     preferred_element_type=jnp.float32)
     if ny < k:
         out = jnp.pad(out, ((0, 0), (0, k - ny), (0, 0)))
     return out.reshape(f, c * k * k)

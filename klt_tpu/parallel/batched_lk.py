@@ -76,14 +76,16 @@ def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
               and lk2.supported(cfg, k))
     import functools as _ft
     if use_v2:
-        from ..ops.interp import extract_flat, extract_flat_rows, \
-            _ROWS_MIN_F
+        from ..ops.interp import (extract_flat, extract_flat_rows,
+                                  extract_flat_tiled, _ROWS_MIN_F,
+                                  _TILED)
         inner = _ft.partial(lk2.lk_level_inner_flat,
                             want_residue=want_residue)
         L = 3 * k * k
         # formulation choice is by TOTAL feature count B*F (each vmap
         # lane only sees F, but the einsums batch over B)
-        exfn = extract_flat_rows if n >= _ROWS_MIN_F else extract_flat
+        exfn = ((extract_flat_tiled if _TILED else extract_flat_rows)
+                if n >= _ROWS_MIN_F else extract_flat)
         exf = jax.vmap(exfn, in_axes=(0, 0, 0, None, None, None))
 
         def extract_p1():
