@@ -356,10 +356,9 @@ def extract_flat(stack_packed: jax.Array, y0: jax.Array, x0: jax.Array,
     h, cw = stack_packed.shape
     w_img = cw // c
     f = y0.shape[0]
+    if _TILED:
+        return extract_flat_tiled(stack_packed, y0, x0, ny, nx, k, c)
     if f >= _ROWS_MIN_F:
-        if _TILED:
-            return extract_flat_tiled(stack_packed, y0, x0, ny, nx,
-                                      k, c)
         return extract_flat_rows(stack_packed, y0, x0, ny, nx, k, c)
     band, rem = _band_select(stack_packed, y0, ny)
 
