@@ -18,6 +18,13 @@ import jax  # noqa: E402
 # virtual-device CPU mesh the test suite is designed for.
 jax.config.update("jax_platforms", "cpu")
 
+# The suite is compile-dominated on this 1-core harness; the persistent
+# cache makes every run after the first warm (keys hash the HLO, so
+# code changes invalidate exactly the programs they touch).
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
