@@ -233,6 +233,55 @@ def test_affine_compaction_bit_exact(provided_frames, monkeypatch):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
 
 
+def test_affine_resident_ds_backend_bit_exact(provided_frames,
+                                              monkeypatch):
+    """The dynamic-slice resident-patch backend (KLT_TPU_AFFINE_RESIDENT
+    =ds) must match the one-hot channel-band backend bit-for-bit: both
+    produce integer-aligned copies of the same image rows/columns."""
+    import jax.numpy as jnp
+    from klt_tpu.ops import affine as aff
+    from klt_tpu.ops.pyramid import build_pyramid_stacks
+
+    cfg = klt.TrackingConfig(sequential_mode=True,
+                             affine_consistency_check=2)
+    fl = _seed_from_oracle()
+
+    def pyr_state(img):
+        stacks = build_pyramid_stacks(jnp.asarray(img, jnp.float32),
+                                      cfg)
+        return ([s[0] for s in stacks], [s[1] for s in stacks],
+                [s[2] for s in stacks])
+
+    st1 = pyr_state(provided_frames[0])
+    st2 = pyr_state(provided_frames[1])
+    n = 150
+    x = jnp.asarray(fl.x)
+    y = jnp.asarray(fl.y)
+    v = jnp.asarray(fl.val)
+
+    def run():
+        s = aff.AffineState.create(n, cfg)
+        x1, y1, v1 = aff.affine_consistency_step(
+            s, st1, st1, x, y, v, x, y, v, cfg)
+        return aff.affine_consistency_step(
+            s, st1, st2, x, y, v, x + 0.3, y - 0.2, v1, cfg), s
+
+    monkeypatch.setattr(aff, "_RESIDENT_DS", False)
+    aff._affine_step_jit._clear_cache()
+    (xa, ya, va), sa = run()
+
+    monkeypatch.setattr(aff, "_RESIDENT_DS", True)
+    aff._affine_step_jit._clear_cache()
+    (xb, yb, vb), sb = run()
+    monkeypatch.undo()
+    aff._affine_step_jit._clear_cache()
+
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+    np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+    np.testing.assert_array_equal(np.asarray(sa.img), np.asarray(sb.img))
+
+
 def test_lighting_sequence(provided_frames):
     cfg = klt.TrackingConfig(sequential_mode=True,
                              lighting_insensitive=True)
