@@ -131,11 +131,14 @@ def bench_flagship_batched(jax, jnp, klt, out):
     independent work — the BASELINE's "tracked features/s per chip"."""
     from klt_tpu.parallel.batched_lk import track_sequences_batched
 
+    from klt_tpu.io.features_io import read_feature_table
+
     cfg = klt.TrackingConfig(sequential_mode=True)
     frames = _load(klt, "images_provided", 0, 10)
     fl = _seed(klt, frames[0], 150, cfg)
     n_pairs = frames.shape[0] - 1
-    for b in (16,):
+    best_entry = None
+    for b in (16, 32):
         fb = jnp.asarray(np.broadcast_to(
             frames, (b,) + frames.shape).copy())
         x = jnp.asarray(np.broadcast_to(fl.x, (b, 150)).copy())
@@ -163,17 +166,39 @@ def bench_flagship_batched(jax, jnp, klt, out):
             jax.block_until_ready(r)
             best = min(best, (time.perf_counter() - t0) / reps)
         agg = b * n_pairs / best
-        # accuracy: batch lane 0 must match the single-stream goldens
-        rt = track_sequences_batched(fb, x, y, v, cfg)
-        vs_last = np.asarray(rt[2][-1][0])
-        out["flagship_batched_throughput"] = {
+        entry = {
             "batch": b,
             "frames": int(frames.shape[0]),
             "aggregate_frames_per_s": round(agg, 1),
             "vs_baseline_fps": round(agg / CPU_BASELINE_FPS, 1),
             "tracked_features_per_s": round(agg * 150, 0),
-            "final_live_features_seq0": int((vs_last >= 0).sum()),
         }
+        # accuracy: batch lane 0 must match the single-stream goldens
+        rt = track_sequences_batched(fb, x, y, v, cfg)
+        xs0 = np.asarray(rt[0][:, 0])
+        ys0 = np.asarray(rt[1][:, 0])
+        vs0 = np.asarray(rt[2][:, 0])
+        entry["final_live_features_seq0"] = int((vs0[-1] >= 0).sum())
+        golden = "/root/reference/src/V1/feat/features2.ft"
+        if os.path.exists(golden):
+            oracle = read_feature_table(golden)
+            dmax, agree, total = 0.0, 0, 0
+            for t in range(n_pairs):
+                ox, oy = oracle.x[:, t], oracle.y[:, t]
+                ov = oracle.val[:, t]
+                agree += int((vs0[t] == ov).sum())
+                total += len(ov)
+                both = (vs0[t] >= 0) & (ov >= 0)
+                if both.any():
+                    d = np.hypot(xs0[t] - ox, ys0[t] - oy)[both]
+                    dmax = max(dmax, float(d.max()))
+            entry["lane0_drift_px_vs_cpu_golden"] = dmax
+            entry["lane0_status_agreement"] = agree / total
+        if (best_entry is None or entry["aggregate_frames_per_s"] >
+                best_entry["aggregate_frames_per_s"]):
+            best_entry = entry
+        out[f"flagship_batched_b{b}"] = entry
+    out["flagship_batched_throughput"] = dict(best_entry)
 
 
 def _table_parity(entry, xs, ys, vs, fixture, col0=1):

@@ -131,18 +131,32 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
         return ((1 - ax) * (1 - ay) * x + ax * (1 - ay) * t01 +
                 (1 - ax) * ay * t10 + ax * ay * t11)
 
+    # The x-bit rolls can run on the L2-sliced canvas (4 vregs instead
+    # of 6) iff the slice's wrap margin is never read: cumulative
+    # x-shift wraps at most the top n_off_x - 1 lanes, so the highest
+    # read lane (_need - 1) must stay below L2 - (n_off_x - 1).  The
+    # value in every read lane is identical either way (lane-rolls
+    # compose to the same total shift), so this is bit-exact.
+    _slice_mid = L2 < L and (_need + n_off_x - 1 <= L2)
+
     def shift_to(x, oy, ox):
-        """Masked binary static rolls by oy*rs + ox lanes.  Selection
-        via jnp.where (2 ops/step) instead of the arithmetic
-        bit*rolled + (1-bit)*x blend (4 ops/step)."""
-        b = 1
-        while b < n_off_x:
-            x = jnp.where((ox & b) != 0, rollL(x, b), x)
-            b *= 2
+        """Masked binary static rolls by oy*rs + ox lanes, returning
+        the L2-sliced shifted canvas.  Selection via jnp.where
+        (2 ops/step) instead of the arithmetic bit*rolled + (1-bit)*x
+        blend (4 ops/step).  y bits run at full canvas width; when the
+        wrap-margin bound holds, x bits run on the slice."""
         b = 1
         while b < n_off_y:
             x = jnp.where((oy & b) != 0, rollL(x, b * rs), x)
             b *= 2
+        if _slice_mid:
+            x = x[:, :L2]
+        b = 1
+        while b < n_off_x:
+            x = jnp.where((ox & b) != 0, rollL(x, b), x)
+            b *= 2
+        if not _slice_mid:
+            x = x[:, :L2]
         return x
 
     def reduce_win(x):
@@ -171,7 +185,7 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
 
         o1y = jnp.clip(is_ref[:, IO1Y:IO1Y + 1], 0, n_off_y - 1)
         o1x = jnp.clip(is_ref[:, IO1X:IO1X + 1], 0, n_off_x - 1)
-        b1 = blend(shift_to(p1_ref[:], o1y, o1x)[:, :L2],
+        b1 = blend(shift_to(p1_ref[:], o1y, o1x),
                    fs[:, FAX1:FAX1 + 1], fs[:, FAY1:FAY1 + 1])
         if lighting:
             r1 = reduce_win(b1 * m_c0)
@@ -190,7 +204,7 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
                    (oy < 0) | (oy > n_off_y - 1))
             oxc = jnp.clip(ox, 0, n_off_x - 1)
             oyc = jnp.clip(oy, 0, n_off_y - 1)
-            win = shift_to(p2, oyc, oxc)[:, :L2]
+            win = shift_to(p2, oyc, oxc)
             return blend(win, ax, ay), ovf
 
         def newton(b2):

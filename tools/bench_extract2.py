@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from klt_tpu.ops.interp import (extract_flat, extract_flat_rows,
-                                extract_flat_rows_cb)
+                                extract_flat_rows_cb, extract_flat_tiled)
 
 
 def extract_flat_ds(stack_packed, y0, x0, ny, nx, k, c=3):
@@ -98,10 +98,15 @@ def main():
         t_ds, _ = timed(
             lambda s, yy, xx: extract_flat_ds(s, yy, xx, ny, k, k),
             stack, y0j, x0j, reps)
+        tl = extract_flat_tiled(stack, y0j[0], x0j[0], ny, k, k)
+        err_tl = float(jnp.max(jnp.abs(a - tl)))
+        t_tl, _ = timed(
+            lambda s, yy, xx: extract_flat_tiled(s, yy, xx, ny, k, k),
+            stack, y0j, x0j, reps)
         print(f"H{h}xW{w} F={f} ny={ny}: blocked {1e6*t_blk:8.1f} us  "
               f"rows {1e6*t_row:8.1f} us  cb {1e6*t_cb:8.1f} us  "
-              f"ds {1e6*t_ds:8.1f} us  "
-              f"maxerr {err:.2e}/{err_cb:.2e}/{err_ds:.2e}")
+              f"ds {1e6*t_ds:8.1f} us  tiled {1e6*t_tl:8.1f} us  "
+              f"maxerr {err:.2e}/{err_cb:.2e}/{err_ds:.2e}/{err_tl:.2e}")
 
 
 if __name__ == "__main__":
