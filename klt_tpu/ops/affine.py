@@ -41,11 +41,18 @@ from ..config import TrackingConfig, TRACKED, SMALL_DET, OOB, LARGE_RESIDUE
 from .interp import (bilinear_sample, window_offsets,
                      pack_stack_channels, extract_packed_cb)
 
+import os
+
 _EPS = np.float32(1.001)
 _PATCH_BORDER = 2  # interpolation margin around the affine window (:1439)
-_RESIDENT = 48     # per-feature resident image patch side (gather-free
-#                    warped sampling; margin ~16 px beyond the affine
-#                    window covers any surviving feature's warp + drift)
+_RESIDENT = int(os.environ.get("KLT_TPU_AFFINE_RESIDENT_P", "48"))
+# per-feature resident image patch side (gather-free warped sampling).
+# The default 48 leaves ~16 px of margin beyond the 15x15 affine
+# window for warp + drift excursions; sampling-einsum cost scales with
+# P^2, so P=32 (margin ~6.5 px, still >> the 1.5 px kill threshold
+# affine_max_displacement_differ) trades excursion headroom for 2.25x
+# fewer MACs — features leaving the margin are OOB-killed either way
+# (patch_oob guards).
 _HI = jax.lax.Precision.HIGHEST
 # Warped-window sampling runs at HIGH (3-pass): the weighted-selection
 # einsums are the affine stage's dominant cost (two [N, K, P] einsums
@@ -175,8 +182,6 @@ def _corners(axx, ayx, axy, ayy, x2, y2, hw, hh):
 def _coord_oob(c, n):
     return (c < 0.0) | (n - c < _EPS)
 
-
-import os
 
 # Active-lane compaction for the Gauss-Newton loop: after PRE lockstep
 # iterations most lanes have converged, but the while_loop runs every
