@@ -558,7 +558,36 @@ def bench_slam_e2e(jax, jnp, klt, out):
     }
 
 
+def _device_usable(timeout_s: float = 120.0) -> bool:
+    """Probe the (possibly tunneled) accelerator in a SUBPROCESS with a
+    hard timeout: when the axon tunnel is down, jax.devices() hangs
+    forever in-process, which would turn the whole bench run into a
+    silent hang.  A dead probe lets main() emit an honest error line
+    instead."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "(jnp.ones((128,128)) @ jnp.ones((128,128)))"
+             ".block_until_ready()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _device_usable():
+        print(json.dumps({
+            "metric": "track_frames_per_s (images_provided, 150 feat, "
+                      "2-level pyramid, 1 chip)",
+            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+            "error": "accelerator unreachable (axon tunnel down?) — "
+                     "device probe subprocess failed/timed out",
+        }))
+        return
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_comp"))
