@@ -138,7 +138,9 @@ def bench_flagship_batched(jax, jnp, klt, out):
     fl = _seed(klt, frames[0], 150, cfg)
     n_pairs = frames.shape[0] - 1
     best_entry = None
-    for b in (16, 32):
+    bsweep = tuple(int(s) for s in os.environ.get(
+        "KLT_TPU_BENCH_B", "16,32").split(","))
+    for b in bsweep:
         fb = jnp.asarray(np.broadcast_to(
             frames, (b,) + frames.shape).copy())
         x = jnp.asarray(np.broadcast_to(fl.x, (b, 150)).copy())
