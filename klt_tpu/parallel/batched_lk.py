@@ -12,6 +12,8 @@ mesh's `data` axis, per pod slice).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -453,17 +455,27 @@ def track_sequences_batched(frames, x, y, val, cfg: TrackingConfig):
     frames: uint8 [B, T, H, W]; x, y f32 [B, N]; val i32 [B, N].
     Returns (xs, ys, vals) of shape [T-1, B, N].
 
-    The pallas on/off decision (env KLT_TPU_NO_PALLAS / backend) is part
-    of the jit cache key, so toggling the env between calls retraces
-    instead of silently reusing the stale compiled path."""
+    The pallas on/off decision (env KLT_TPU_NO_PALLAS / backend) and the
+    KLT_TPU_PRECOMP_PYR toggle are part of the jit cache key, so
+    toggling the env between calls retraces instead of silently reusing
+    the stale compiled path."""
     from ..pallas import pallas_enabled
+    precomp = os.environ.get("KLT_TPU_PRECOMP_PYR", "0") == "1"
     return _track_sequences_batched(frames, x, y, val, cfg,
-                                    pallas_enabled())
+                                    pallas_enabled(), precomp)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def _track_sequences_batched(frames, x, y, val, cfg: TrackingConfig,
-                             use_pallas: bool):
+                             use_pallas: bool, precomp: bool = False):
+    # precomp (KLT_TPU_PRECOMP_PYR=1): build ALL T frames' pyramid
+    # stacks in ONE batched launch (grid B*T instead of B) ahead of the
+    # scan and feed them through scan xs — the per-step pyramid build
+    # (latency-bound at B images/launch) leaves the critical loop
+    # entirely.  Memory cost: the whole chunk's stacks stay resident
+    # (f32 ~ 3.7 MB per 320x240 frame, ~14.7 MB per 640x480 frame) —
+    # fine for bench chunks, keep OFF for unbounded streaming.
+    # Bit-exact: identical stacks, identical per-step program.
     if use_pallas:
         # carry PACKED level stacks: pack once per frame, every level
         # access in the kernel path reads the packed layout directly.
@@ -471,7 +483,19 @@ def _track_sequences_batched(frames, x, y, val, cfg: TrackingConfig,
         # last-round p2 canvas + anchors so the next step's p1 window
         # extraction is a free in-canvas shift (all-or-nothing per
         # step; invalid steps fall back to the extraction in-graph).
-        sp0 = _packed_stacks(frames[:, 0], cfg)
+        if precomp:
+            b, t_all = frames.shape[0], frames.shape[1]
+            sp_bt = _packed_stacks(
+                frames.reshape((b * t_all,) + frames.shape[2:]), cfg)
+            # [B*T, H, 3W] (b-major) -> per-level ([B,H,3W] at t=0,
+            # [T-1, B, H, 3W] stream for the scan)
+            sp0 = tuple(sp.reshape((b, t_all) + sp.shape[1:])[:, 0]
+                        for sp in sp_bt)
+            sp_xs = tuple(
+                sp.reshape((b, t_all) + sp.shape[1:])[:, 1:]
+                .swapaxes(0, 1) for sp in sp_bt)
+        else:
+            sp0 = _packed_stacks(frames[:, 0], cfg)
         n = x.shape[0] * x.shape[1]
         c0 = []
         for sp in sp0:
@@ -485,9 +509,10 @@ def _track_sequences_batched(frames, x, y, val, cfg: TrackingConfig,
         if c0:
             c0 = tuple(c0)
 
-            def body(carry, t):
+            def body(carry, xs):
                 sp1, cc, xc, yc, vc = carry
-                sp2 = _packed_stacks(frames[:, t], cfg)
+                sp2 = xs if precomp else _packed_stacks(
+                    frames[:, xs], cfg)
                 xn, yn, vn, cn = track_features_pyramid_batched_carry(
                     sp1, sp2, xc, yc, vc, cfg, carries=cc,
                     want_carry=True)
@@ -495,18 +520,19 @@ def _track_sequences_batched(frames, x, y, val, cfg: TrackingConfig,
 
             (_, _, xf, yf, vf), tables = jax.lax.scan(
                 body, (sp0, c0, x, y, val),
-                jnp.arange(1, frames.shape[1]))
+                sp_xs if precomp else jnp.arange(1, frames.shape[1]))
             return tables
 
-        def body(carry, t):
+        def body(carry, xs):
             sp1, xc, yc, vc = carry
-            sp2 = _packed_stacks(frames[:, t], cfg)
+            sp2 = xs if precomp else _packed_stacks(frames[:, xs], cfg)
             xn, yn, vn = track_features_pyramid_batched(
                 sp1, sp2, xc, yc, vc, cfg)
             return (sp2, xn, yn, vn), (xn, yn, vn)
 
         (_, xf, yf, vf), tables = jax.lax.scan(
-            body, (sp0, x, y, val), jnp.arange(1, frames.shape[1]))
+            body, (sp0, x, y, val),
+            sp_xs if precomp else jnp.arange(1, frames.shape[1]))
         return tables
 
     vpyr = jax.vmap(lambda im: build_image_pyramids(im, cfg))

@@ -149,3 +149,30 @@ def test_batched_matches_single_odd_sizes(provided_frames, monkeypatch):
                                           np.asarray(rs[2][-1]))
             np.testing.assert_allclose(np.asarray(xs[-1][lane]),
                                        np.asarray(rs[0][-1]), atol=1e-4)
+
+
+def test_precomp_pyramid_bit_exact(provided_frames, monkeypatch):
+    """KLT_TPU_PRECOMP_PYR=1 (whole-chunk pyramid stacks built ahead of
+    the scan, fed via scan xs) must be bit-identical to the per-step
+    build — it is the same stacks in the same per-step program."""
+    import jax.numpy as jnp
+    from klt_tpu.config import TrackingConfig
+    from klt_tpu.parallel.batched_lk import track_sequences_batched
+
+    monkeypatch.setenv("KLT_TPU_PALLAS_INTERPRET", "1")
+    cfg = TrackingConfig(sequential_mode=True)
+    frames = np.stack(provided_frames[:4])
+    rng = np.random.RandomState(3)
+    b, n = 2, 96
+    x = rng.uniform(30, 290, (b, n)).astype(np.float32)
+    y = rng.uniform(30, 210, (b, n)).astype(np.float32)
+    v = np.zeros((b, n), np.int32)
+    fb = jnp.asarray(np.broadcast_to(frames, (b,) + frames.shape))
+    args = (fb, jnp.asarray(x), jnp.asarray(y), jnp.asarray(v), cfg)
+
+    monkeypatch.delenv("KLT_TPU_PRECOMP_PYR", raising=False)
+    base = [np.asarray(a) for a in track_sequences_batched(*args)]
+    monkeypatch.setenv("KLT_TPU_PRECOMP_PYR", "1")
+    pre = [np.asarray(a) for a in track_sequences_batched(*args)]
+    for a, r in zip(pre, base):
+        np.testing.assert_array_equal(a, r)
