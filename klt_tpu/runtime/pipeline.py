@@ -10,6 +10,7 @@ as a uint8 [T, H, W] tensor; per-frame feature tables come back stacked.
 
 from __future__ import annotations
 
+import os
 import functools
 
 import jax
@@ -36,7 +37,22 @@ def _init_level_carries(st0, n, cfg: TrackingConfig):
     return tuple(out)
 
 
-@functools.partial(jax.jit, static_argnums=4)
+def _precomp_enabled() -> bool:
+    """KLT_TPU_PRECOMP_PYR=1: build the whole chunk's pyramid stacks in
+    ONE batched launch ahead of the scan (fed via scan xs) instead of
+    one latency-bound single-image build per step.  Bit-exact (same
+    stacks, same per-step program); costs O(T) resident stack memory,
+    so it stays opt-in for unbounded streaming."""
+    return os.environ.get("KLT_TPU_PRECOMP_PYR", "0") == "1"
+
+
+def _stacks_stream(frames_tail, cfg: TrackingConfig):
+    """Pyramid stacks for T frames in one vmapped (single-launch)
+    build: tuple of [T, 3, H_l, W_l] per level."""
+    return tuple(jax.vmap(
+        lambda im: tuple(build_pyramid_stacks(im, cfg)))(frames_tail))
+
+
 def track_sequence(frames, x, y, val, cfg: TrackingConfig):
     """Track features through a whole sequence in one compiled program.
 
@@ -48,19 +64,27 @@ def track_sequence(frames, x, y, val, cfg: TrackingConfig):
     eligible level's last-round p2 canvas (sequential canvas carry:
     the next step's first-image windows come from it for free).
     """
+    return _track_sequence_jit(frames, x, y, val, cfg,
+                               _precomp_enabled())
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _track_sequence_jit(frames, x, y, val, cfg: TrackingConfig,
+                        precomp: bool):
     st0 = tuple(build_pyramid_stacks(frames[0], cfg))
     c0 = _init_level_carries(st0, x.shape[0], cfg)
 
-    def body(carry, img):
+    def body(carry, xs):
         st1, cc, x, y, val = carry
-        st2 = tuple(build_pyramid_stacks(img, cfg))
+        st2 = xs if precomp else tuple(build_pyramid_stacks(xs, cfg))
         xn, yn, vn, cn = track_features_pyramid_stacks(
             list(st1), list(st2), x, y, val, cfg, carries=cc,
             want_carry=True)
         return (st2, cn, xn, yn, vn), (xn, yn, vn)
 
+    xs = _stacks_stream(frames[1:], cfg) if precomp else frames[1:]
     (_, _, xf, yf, vf), tables = jax.lax.scan(
-        body, (st0, c0, x, y, val), frames[1:])
+        body, (st0, c0, x, y, val), xs)
     return tables
 
 
@@ -91,7 +115,6 @@ def _prepare_jit(img, cfg: TrackingConfig):
     return tuple(build_pyramid_stacks(img, cfg))
 
 
-@functools.partial(jax.jit, static_argnums=4)
 def track_sequence_replace(frames, x, y, val, cfg: TrackingConfig):
     """Whole-sequence tracking with per-frame lost-feature replacement
     running INSIDE the compiled scan (ops.replace — device-resident
@@ -103,14 +126,21 @@ def track_sequence_replace(frames, x, y, val, cfg: TrackingConfig):
     x, y f32 [N]; val i32 [N].  Returns (xs, ys, vals) of shape
     [T-1, N] — the state after tracking into frame t and replacing.
     """
+    return _track_sequence_replace_jit(frames, x, y, val, cfg,
+                                       _precomp_enabled())
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _track_sequence_replace_jit(frames, x, y, val, cfg: TrackingConfig,
+                                precomp: bool):
     from ..ops.replace import replace_lost_features_device
 
     st0 = tuple(build_pyramid_stacks(frames[0], cfg))
     c0 = _init_level_carries(st0, x.shape[0], cfg)
 
-    def body(carry, img):
+    def body(carry, xs):
         st1, cc, x, y, val = carry
-        st2 = tuple(build_pyramid_stacks(img, cfg))
+        st2 = xs if precomp else tuple(build_pyramid_stacks(xs, cfg))
         # replaced features carry their (positive) selection response
         # in val, which marks the step's canvas carry stale for them
         # (track_features_pyramid_stacks' val > 0 check)
@@ -121,12 +151,12 @@ def track_sequence_replace(frames, x, y, val, cfg: TrackingConfig):
             st2[0][1], st2[0][2], xn, yn, vn, cfg)
         return (st2, cn, xn, yn, vn), (xn, yn, vn)
 
+    xs = _stacks_stream(frames[1:], cfg) if precomp else frames[1:]
     (_, _, xf, yf, vf), tables = jax.lax.scan(
-        body, (st0, c0, x, y, val), frames[1:])
+        body, (st0, c0, x, y, val), xs)
     return tables
 
 
-@functools.partial(jax.jit, static_argnums=4)
 def track_sequence_affine(frames, x, y, val, cfg: TrackingConfig):
     """Whole-sequence tracking with the affine consistency check
     running inside the compiled scan.
@@ -140,6 +170,13 @@ def track_sequence_affine(frames, x, y, val, cfg: TrackingConfig):
     frames: uint8/f32 [T, H, W]; x, y f32 [N]; val i32 [N].
     Returns (xs, ys, vals) of shape [T-1, N].
     """
+    return _track_sequence_affine_jit(frames, x, y, val, cfg,
+                                      _precomp_enabled())
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _track_sequence_affine_jit(frames, x, y, val, cfg: TrackingConfig,
+                               precomp: bool):
     from ..ops.affine import AffineState, _affine_step_jit, _PATCH_BORDER
     import jax.numpy as jnp
 
@@ -154,9 +191,9 @@ def track_sequence_affine(frames, x, y, val, cfg: TrackingConfig):
     pyr0 = tuple(build_pyramid_stacks(frames[0], cfg))
     c0 = _init_level_carries(pyr0, n, cfg)
 
-    def body(carry, img):
+    def body(carry, xs):
         st1, cc, xc, yc, vc, aff = carry
-        st2 = tuple(build_pyramid_stacks(img, cfg))
+        st2 = xs if precomp else tuple(build_pyramid_stacks(xs, cfg))
         xn, yn, vn, cn = track_features_pyramid_stacks(
             list(st1), list(st2), xc, yc, vc, cfg, carries=cc,
             want_carry=True)
@@ -169,8 +206,9 @@ def track_sequence_affine(frames, x, y, val, cfg: TrackingConfig):
         return ((st2, cn, x_out, y_out, val_out, aff_new),
                 (x_out, y_out, val_out))
 
+    xs = _stacks_stream(frames[1:], cfg) if precomp else frames[1:]
     (_, _, xf, yf, vf, _), tables = jax.lax.scan(
-        body, (pyr0, c0, x, y, val, aff0), frames[1:])
+        body, (pyr0, c0, x, y, val, aff0), xs)
     return tables
 
 
@@ -224,23 +262,30 @@ def track_sequence_stream(frames_iter, x, y, val, cfg: TrackingConfig,
         yield t, np.asarray(xd), np.asarray(yd), np.asarray(vd)
 
 
-@functools.partial(jax.jit, static_argnums=5, donate_argnums=(0,))
 def _track_chunk_carry(pyr1_state, frames, x, y, val,
                        cfg: TrackingConfig):
+    return _track_chunk_carry_jit(pyr1_state, frames, x, y, val, cfg,
+                                  _precomp_enabled())
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6), donate_argnums=(0,))
+def _track_chunk_carry_jit(pyr1_state, frames, x, y, val,
+                           cfg: TrackingConfig, precomp: bool):
     """Scan one frame chunk, carrying pyramids in (donated) device
     buffers across dispatches.  The canvas carry resets per chunk (its
     first step extracts), trading ~1/chunk of the carry win for an
     unchanged host-facing carry interface."""
     c0 = _init_level_carries(pyr1_state, x.shape[0], cfg)
 
-    def body(carry, img):
+    def body(carry, xs):
         st1, cc, x, y, v = carry
-        st2 = tuple(build_pyramid_stacks(img, cfg))
+        st2 = xs if precomp else tuple(build_pyramid_stacks(xs, cfg))
         xn, yn, vn, cn = track_features_pyramid_stacks(
             list(st1), list(st2), x, y, v, cfg, carries=cc,
             want_carry=True)
         return (st2, cn, xn, yn, vn), None
 
+    xs = _stacks_stream(frames, cfg) if precomp else frames
     (st2, _, xf, yf, vf), _ = jax.lax.scan(
-        body, (pyr1_state, c0, x, y, val), frames)
+        body, (pyr1_state, c0, x, y, val), xs)
     return (xf, yf, vf), st2

@@ -176,3 +176,16 @@ def test_precomp_pyramid_bit_exact(provided_frames, monkeypatch):
     pre = [np.asarray(a) for a in track_sequences_batched(*args)]
     for a, r in zip(pre, base):
         np.testing.assert_array_equal(a, r)
+
+    # single-sequence drivers share the knob
+    from klt_tpu.runtime.pipeline import (track_sequence,
+                                          track_sequence_replace)
+    sargs = (fb[0], jnp.asarray(x[0]), jnp.asarray(y[0]),
+             jnp.asarray(v[0]), cfg)
+    for fn in (track_sequence, track_sequence_replace):
+        monkeypatch.setenv("KLT_TPU_PRECOMP_PYR", "1")
+        pre = [np.asarray(a) for a in fn(*sargs)]
+        monkeypatch.delenv("KLT_TPU_PRECOMP_PYR")
+        base = [np.asarray(a) for a in fn(*sargs)]
+        for a, r in zip(pre, base):
+            np.testing.assert_array_equal(a, r)
