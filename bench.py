@@ -393,6 +393,22 @@ def bench_batched_3x4096(jax, jnp, klt, out):
                                 for b in range(3)],
     }
 
+    # single-sequence 4096-feature latency (VERDICT r2 #4: the large-F
+    # extraction scheme's single-stream number, traffic sequence)
+    from klt_tpu.runtime.pipeline import track_sequence
+    r1 = track_sequence(fd[1], x[1], y[1], v[1], cfg)
+    jax.block_until_ready(r1)
+    t0 = time.perf_counter()
+    for i in range(reps):
+        r1 = track_sequence(fd[1], x[1] + 1e-4 * i, y[1], v[1], cfg)
+    jax.block_until_ready(r1)
+    dt1 = (time.perf_counter() - t0) / reps
+    out["single_traffic_4096feat"] = {
+        "frames": t_frames,
+        "frames_per_s": round((t_frames - 1) / dt1, 1),
+        "final_live_features": int((np.asarray(r1[2][-1]) >= 0).sum()),
+    }
+
 
 def bench_batch_scaling(jax, jnp, klt, out):
     """BASELINE's scaling-efficiency row: aggregate fps + batch-scaling
