@@ -716,8 +716,8 @@ def main():
     # process's device, which must not take the other configs down
     for fn in (bench_flagship_batched, bench_traffic_replace,
                bench_batched_3x4096, bench_slam_e2e,
-               bench_batch_scaling, bench_laptops_affine,
-               bench_roofline):
+               bench_batch_scaling, bench_roofline,
+               bench_laptops_affine):
         if time.perf_counter() - t_start > budget:
             extras[fn.__name__] = {"skipped": "bench time budget"}
             continue
