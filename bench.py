@@ -169,7 +169,7 @@ def bench_flagship_batched(jax, jnp, klt, out):
         x = jnp.asarray(np.broadcast_to(fl.x, (b, 150)).copy())
         y = jnp.asarray(np.broadcast_to(fl.y, (b, 150)).copy())
         v = jnp.asarray(np.broadcast_to(fl.val, (b, 150)).copy())
-        reps = min(10, int(os.environ.get("KLT_TPU_BENCH_REPS", "10")))
+        reps = int(os.environ.get("KLT_TPU_BENCH_REPS", "10"))
 
         b_best = None
         for pre in psweep:

@@ -352,14 +352,25 @@ def extract_flat(stack_packed: jax.Array, y0: jax.Array, x0: jax.Array,
     trace: realign alone 1.6 ms/step at F=2400); the exact-row
     formulation (extract_flat_rows) removes both and wins 1.6-2.3x
     from F~2400 up, so large F dispatches there (bit-identical)."""
-    prec = jax.lax.Precision.HIGH
-    h, cw = stack_packed.shape
-    w_img = cw // c
     f = y0.shape[0]
     if _TILED:
         return extract_flat_tiled(stack_packed, y0, x0, ny, nx, k, c)
     if f >= _ROWS_MIN_F:
         return extract_flat_rows(stack_packed, y0, x0, ny, nx, k, c)
+    return extract_flat_blocked(stack_packed, y0, x0, ny, nx, k, c)
+
+
+def extract_flat_blocked(stack_packed: jax.Array, y0: jax.Array,
+                         x0: jax.Array, ny: int, nx: int, k: int,
+                         c: int = 3) -> jax.Array:
+    """The 8-row-block formulation of extract_flat (band select +
+    realign), callable directly so tools/bench_extract2.py can A/B it
+    against the rows formulation above the _ROWS_MIN_F dispatch
+    threshold (extract_flat itself self-dispatches)."""
+    prec = jax.lax.Precision.HIGH
+    h, cw = stack_packed.shape
+    w_img = cw // c
+    f = y0.shape[0]
     band, rem = _band_select(stack_packed, y0, ny)
 
     # Block-diagonal column one-hot.  (A per-channel split with 3x

@@ -228,6 +228,20 @@ def level_carry_eligible(nr: int, nc: int, cfg: TrackingConfig) -> bool:
             and lk2.supported(cfg, k))
 
 
+def make_carry_init(n: int, k: int):
+    """Initial canvas-carry triple for one eligible level: zero canvas
+    + anchors far out of range, so the first step's validity check
+    fails and falls back to extraction.  Shared by the single-sequence
+    (runtime/pipeline._init_level_carries) and batched
+    (parallel/batched_lk._track_sequences_batched) drivers — the
+    anchor sentinel and canvas layout must stay in sync with the
+    carry validity check in _track_level_kernel."""
+    import jax.numpy as jnp
+    return (jnp.zeros((n, 3 * k * k), jnp.float32),
+            jnp.full((n,), jnp.int32(-(10 ** 6))),
+            jnp.full((n,), jnp.int32(-(10 ** 6))))
+
+
 def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
                         cfg: TrackingConfig, carry_in=None,
                         want_carry=False, stale=None,
@@ -293,6 +307,8 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
                                   want_residue=want_residue)
 
         def _ds_flat(stack, y0, x0, ny, nx):
+            # lane count comes from y0 (the stall-compacted tail
+            # extracts M_TAIL lanes through this same path)
             out = jax.vmap(lambda ys, xs: jax.lax.dynamic_slice(
                 stack, (0, ys, xs), (3, ny, nx)))(y0, x0)
             if ny < k or nx < k:
@@ -300,7 +316,7 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
                                     (0, k - nx)))
             if exmode == "ds":
                 out = out.transpose(0, 2, 1, 3)
-            return out.reshape(n, 3 * k * k)
+            return out.reshape(y0.shape[0], 3 * k * k)
 
         p1w = _ds_flat(stack1, y10, x10, h + 1, w + 1)
         extract2 = lambda py0, px0: _ds_flat(stack2, py0, px0, k, k)
@@ -446,7 +462,10 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
             x2g, y2g = g(x2c), g(y2c)
             dng = jnp.where(pad, 1, g(done))
             py0, px0 = anchors(x2g, y2g)
-            p2 = extract_flat(sp2, py0, px0, k, k, k)
+            # extract through the SAME backend/layout as round_once
+            # (the ds2 kernel is built channel-major; a hardcoded
+            # extract_flat here would feed it row-major patches)
+            p2 = extract2(py0, px0)
             fst = jnp.concatenate(
                 [x2g[:, None], y2g[:, None], g(ax1c), g(ay1c),
                  px0.astype(jnp.float32)[:, None],

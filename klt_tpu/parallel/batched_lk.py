@@ -200,6 +200,10 @@ def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
             return round_once(x2c, y2c, status, iters, done)
 
         def compact_round(_):
+            # single-sequence twin: ops/lk.py compact_round — keep in
+            # sync (that one must extract via the round's own extract2
+            # backend; this path is onehot-only so extract_flat is the
+            # matching backend, addressed via flat row indexing below)
             slots = jnp.cumsum(act.astype(jnp.int32)) - 1
             tgt = jnp.where(act, slots, M_TAIL)
             idx = jnp.zeros((M_TAIL,), jnp.int32).at[tgt].set(
@@ -496,16 +500,14 @@ def _track_sequences_batched(frames, x, y, val, cfg: TrackingConfig,
                 .swapaxes(0, 1) for sp in sp_bt)
         else:
             sp0 = _packed_stacks(frames[:, 0], cfg)
+        from ..ops.lk import make_carry_init
         n = x.shape[0] * x.shape[1]
         c0 = []
         for sp in sp0:
             nr_l, nc_l = sp.shape[-2], sp.shape[-1] // 3
             if carry_eligible(nr_l, nc_l, cfg):
                 k_l = _kernel_patch_size(nr_l, nc_l, cfg)
-                # anchors far out of range => first step extracts
-                c0.append((jnp.zeros((n, 3 * k_l * k_l), jnp.float32),
-                           jnp.full((n,), jnp.int32(-(10 ** 6))),
-                           jnp.full((n,), jnp.int32(-(10 ** 6)))))
+                c0.append(make_carry_init(n, k_l))
         if c0:
             c0 = tuple(c0)
 

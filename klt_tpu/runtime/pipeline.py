@@ -25,15 +25,14 @@ def _init_level_carries(st0, n, cfg: TrackingConfig):
     """Initial per-level canvas carries (anchors far out of range so
     the first step falls back to extraction) — one triple per
     level_carry_eligible level, finest-first."""
-    from ..ops.lk import level_carry_eligible, _kernel_patch_size
+    from ..ops.lk import (level_carry_eligible, _kernel_patch_size,
+                          make_carry_init)
     out = []
     for st in st0:
         nr, nc = st.shape[-2], st.shape[-1]
         if level_carry_eligible(nr, nc, cfg):
             k = _kernel_patch_size(nr, nc, cfg)
-            out.append((jnp.zeros((n, 3 * k * k), jnp.float32),
-                        jnp.full((n,), jnp.int32(-(10 ** 6))),
-                        jnp.full((n,), jnp.int32(-(10 ** 6)))))
+            out.append(make_carry_init(n, k))
     return tuple(out)
 
 

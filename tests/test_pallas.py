@@ -119,6 +119,23 @@ def test_stall_compaction_bit_exact(provided_frames, interpret_pallas,
     for r, o in zip(ref, out):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
 
+    # the compacted tail must extract through the round's own backend:
+    # with KLT_TPU_EXTRACT=ds2 the kernel is built channel-major, and a
+    # hardcoded row-major extract_flat in the tail fed it garbage
+    # (regression: caught by review, fixed by reusing extract2)
+    monkeypatch.setenv("KLT_TPU_EXTRACT", "ds2")
+    monkeypatch.setenv("KLT_TPU_STALL_COMPACT", "0")
+    ref2 = jax.jit(lambda *a: LK._track_level_kernel(*a, cfg))(
+        s1, s2, x, y, x, y, act)
+    monkeypatch.setenv("KLT_TPU_STALL_COMPACT", "1")
+    out2 = jax.jit(lambda *a: LK._track_level_kernel(*a, cfg))(
+        s1, s2, x, y, x, y, act)
+    for r, o in zip(ref2, out2):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
+    # and ds2 itself must agree with the default backend bit-for-bit
+    for r, o in zip(ref, ref2):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
+
 
 @pytest.mark.slow
 def test_lk2_channel_major_layout_matches(provided_frames, monkeypatch):
@@ -191,6 +208,14 @@ def test_lk2_multi_block_features(provided_frames, monkeypatch):
 # correctness is covered by the oracle/equality/golden tests above,
 # and the matrices' per-case cost doubled once the carry paths joined
 # the interpret-mode compiles.
+def test_lk2_geometry_hazard_case(provided_frames, monkeypatch):
+    """FAST-GATE representative of the window-geometry matrix: 9x9 is
+    the geometry whose reduce-tree span historically WRAPPED the lane
+    canvas (the 576-lane slice bug) — the one case that must never
+    leave the default suite."""
+    _run_geometry_case(provided_frames, monkeypatch, 9, 9)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("ww,wh", [(5, 5), (9, 9), (7, 9), (9, 5),
                                    (5, 9), (11, 11), (13, 13)])
@@ -199,6 +224,10 @@ def test_lk2_window_geometry_fuzz(provided_frames, monkeypatch, ww, wh):
     every window size the config system allows (the wrap-safety margin
     is derived per config by lk2.supported; sizes it rejects must fall
     back cleanly)."""
+    _run_geometry_case(provided_frames, monkeypatch, ww, wh)
+
+
+def _run_geometry_case(provided_frames, monkeypatch, ww, wh):
     import jax.numpy as jnp
     import klt_tpu.ops.lk as L
     from klt_tpu.config import TrackingConfig
@@ -233,6 +262,17 @@ def test_lk2_window_geometry_fuzz(provided_frames, monkeypatch, ww, wh):
 def test_lk2_pyramid_config_fuzz(provided_frames, monkeypatch, sr):
     """search_range-derived pyramid variants (1-level, 2-level/ss4,
     3-level/ss8) through the kernel path vs the no-Pallas oracle."""
+    _run_pyramid_config_case(provided_frames, monkeypatch, sr)
+
+
+def test_lk2_pyramid_config_fast_case(provided_frames, monkeypatch):
+    """FAST-GATE representative of the pyramid-config matrix: the
+    1-level variant exercises the kernel's non-default level dispatch
+    without the multi-level compile cost."""
+    _run_pyramid_config_case(provided_frames, monkeypatch, 5)
+
+
+def _run_pyramid_config_case(provided_frames, monkeypatch, sr):
     import jax.numpy as jnp
     import klt_tpu.ops.lk as L
     from klt_tpu.config import TrackingConfig

@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from klt_tpu.ops.interp import (extract_flat, extract_flat_rows,
+from klt_tpu.ops.interp import (extract_flat_blocked, extract_flat_rows,
                                 extract_flat_rows_cb, extract_flat_tiled)
 
 
@@ -77,7 +77,7 @@ def main():
         x0 = rng.integers(0, w - k, size=(reps, f)).astype(np.int32)
         y0j, x0j = jnp.asarray(y0), jnp.asarray(x0)
 
-        a = extract_flat(stack, y0j[0], x0j[0], ny, k, k)
+        a = extract_flat_blocked(stack, y0j[0], x0j[0], ny, k, k)
         b = extract_flat_rows(stack, y0j[0], x0j[0], ny, k, k)
         err = float(jnp.max(jnp.abs(a - b)))
 
@@ -85,7 +85,7 @@ def main():
         err_cb = float(jnp.max(jnp.abs(a - cth)))
 
         t_blk, _ = timed(
-            lambda s, yy, xx: extract_flat(s, yy, xx, ny, k, k),
+            lambda s, yy, xx: extract_flat_blocked(s, yy, xx, ny, k, k),
             stack, y0j, x0j, reps)
         t_row, _ = timed(
             lambda s, yy, xx: extract_flat_rows(s, yy, xx, ny, k, k),

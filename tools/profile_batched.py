@@ -70,12 +70,14 @@ def main():
 
     @jax.jit
     def prog_pyr_only(fb, x):
+        # scans the same 9 PAIR steps as the other stages (one new
+        # pyramid per step), so the us/step columns are comparable
         def body(i, acc):
             def scanbody(carry, t):
                 p = vpyr(fb[:, t] + carry.astype(jnp.uint8))
                 return jnp.uint8(0), p[0][-1][:, 0, 0]
             _, outs = jax.lax.scan(scanbody, jnp.uint8(0),
-                                   jnp.arange(fb.shape[1]))
+                                   jnp.arange(1, fb.shape[1]))
             return acc + outs.sum() + x[0, 0] * 0
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
@@ -159,7 +161,7 @@ def main():
             return jax.lax.fori_loop(0, reps, body, jnp.zeros_like(x))
         return prog
 
-    t_pyr = timed(prog_pyr_only, fb, x0) / (reps * 10)
+    t_pyr = timed(prog_pyr_only, fb, x0) / (reps * n_pairs)
     print(f"B={b} F={nf}")
     print(f"batched pyramids only    : {t_pyr*1e6:9.1f} us/step "
           f"({t_pyr*1e6/b:7.1f} us/seq-frame)")
