@@ -242,6 +242,105 @@ def make_carry_init(n: int, k: int):
             jnp.full((n,), jnp.int32(-(10 ** 6))))
 
 
+def _run_reanchor_tail(first_state, round_once, tail_extract, anchors,
+                       p1w, ax1c, ay1c, oob1_i, o1_cols, inner,
+                       n, k, nc, nr, cfg, use_v2):
+    """Shared re-anchor machinery for the single-sequence and batched
+    kernel drivers (_track_level_kernel here and
+    parallel/batched_lk._track_level_kernel_batched): the optional
+    straight-line / cond-gated unrolled rounds, then the while_loop
+    tail with stall-compaction.
+
+    first_state: the 9-tuple a round produces —
+      (x2, y2, status, iters, done, residue, p2_last, py0_last,
+       px0_last), all over n flat lanes.
+    round_once(x2, y2, status, iters, done) -> that same 9-tuple.
+    tail_extract(py0, px0, idx) -> [M_TAIL, 3*k*k] p2 patches for the
+      gathered lanes, through the SAME backend/layout round_once uses
+      (idx carries the source lane for batched flat-row addressing).
+    anchors(x2, y2) -> (py0, px0), elementwise on flat lanes.
+
+    Stall-compaction is bit-exact: a lane's trajectory is independent
+    of its canvas anchor (the sampled window is identical image data)
+    and of its block's other lanes (all kernel ops are lane-masked).
+    """
+    import os
+    st = first_state
+    if os.environ.get("KLT_TPU_COND_REANCHOR", "0") == "1":
+        # cond-gate the unrolled rounds: when no lane stalled, the
+        # round is a no-op whose extraction cost can be skipped
+        # entirely (bit-exact: a no-op round only refreshes the canvas
+        # anchor, and the canvas holds exact image content either way)
+        def _ro(s):
+            return round_once(s[0], s[1], s[2], s[3], s[4])
+
+        for _ in range(cfg.reanchor_unroll):
+            st = jax.lax.cond(jnp.any(st[4] == 0), _ro, lambda s: s,
+                              st)
+    else:
+        for _ in range(cfg.reanchor_unroll):
+            st = round_once(st[0], st[1], st[2], st[3], st[4])
+
+    # Stall-compaction for the re-anchor tail: tail rounds re-extract
+    # and re-launch at full width for a handful of stalled lanes;
+    # gather them into an M-wide state instead.
+    M_TAIL = 128
+    _tc_min = int(os.environ.get("KLT_TPU_STALL_COMPACT_MIN",
+                                 str(4 * M_TAIL)))
+    tail_compact = (use_v2 and n >= _tc_min and
+                    os.environ.get("KLT_TPU_STALL_COMPACT", "1") == "1")
+
+    def outer(state):
+        rounds, x2c, y2c, status, iters, done = state[:6]
+        residue_c, p2l_c, py0l_c, px0l_c = state[6:]
+        if not tail_compact:
+            out = round_once(x2c, y2c, status, iters, done)
+            return (rounds + 1,) + out
+
+        act = done == 0
+        cnt = jnp.sum(act.astype(jnp.int32))
+
+        def full_round(_):
+            return round_once(x2c, y2c, status, iters, done)
+
+        def compact_round(_):
+            slots = jnp.cumsum(act.astype(jnp.int32)) - 1
+            tgt = jnp.where(act, slots, M_TAIL)
+            idx = jnp.zeros((M_TAIL,), jnp.int32).at[tgt].set(
+                jnp.arange(n, dtype=jnp.int32), mode="drop")
+            pad = jnp.arange(M_TAIL, dtype=jnp.int32) >= cnt
+            g = lambda a: jnp.take(a, idx, axis=0)
+            x2g, y2g = g(x2c), g(y2c)
+            dng = jnp.where(pad, 1, g(done))
+            py0, px0 = anchors(x2g, y2g)
+            p2 = tail_extract(py0, px0, idx)
+            fst = jnp.concatenate(
+                [x2g[:, None], y2g[:, None], g(ax1c), g(ay1c),
+                 px0.astype(jnp.float32)[:, None],
+                 py0.astype(jnp.float32)[:, None]], axis=1)
+            ist = jnp.concatenate(
+                [g(status)[:, None], g(iters)[:, None], dng[:, None],
+                 g(oob1_i), g(o1_cols)], axis=1)
+            fo, io, rs = inner(g(p1w), p2, fst, ist, cfg, k, nc, nr)
+            sidx = jnp.where(pad, n, idx)
+            sc = lambda full, v: full.at[sidx].set(v, mode="drop")
+            return (sc(x2c, fo[:, 0]), sc(y2c, fo[:, 1]),
+                    sc(status, io[:, 0]), sc(iters, io[:, 1]),
+                    sc(done, io[:, 2]), sc(residue_c, rs),
+                    sc(p2l_c, p2), sc(py0l_c, py0), sc(px0l_c, px0))
+
+        out = jax.lax.cond(cnt <= M_TAIL, compact_round, full_round,
+                           None)
+        return (rounds + 1,) + out
+
+    def outer_going(state):
+        rounds, done = state[0], state[5]
+        return jnp.any(done == 0) & (rounds < cfg.max_iterations + 1)
+
+    return jax.lax.while_loop(outer_going, outer,
+                              (jnp.int32(0),) + tuple(st))[1:]
+
+
 def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
                         cfg: TrackingConfig, carry_in=None,
                         want_carry=False, stale=None,
@@ -403,97 +502,18 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
         return (fout[:, 0], fout[:, 1], iout[:, 0], iout[:, 1],
                 iout[:, 2], resn, p2, py0, px0)
 
-    # first anchor round always runs; cfg.reanchor_unroll optional
-    # straight-line rounds follow (deterministic no-ops for converged
-    # lanes), then the while_loop tail handles stragglers.
+    # first anchor round always runs; the shared machinery
+    # (_run_reanchor_tail) adds cfg.reanchor_unroll optional
+    # straight-line rounds and the stall-compacted while_loop tail.
+    # Tail extraction goes through the round's own extract2 backend
+    # (the ds2 kernel is built channel-major; a hardcoded extract_flat
+    # would feed it row-major patches).
+    first = round_once(x2, y2, status0, iters0, done0, p2=p2_first)
     (x2f, y2f, status, iters, done, residue, p2l, py0l,
-     px0l) = round_once(x2, y2, status0, iters0, done0, p2=p2_first)
-    if os.environ.get("KLT_TPU_COND_REANCHOR", "0") == "1":
-        # cond-gate the unrolled rounds: when no lane stalled, the
-        # round is a no-op whose extraction cost can be skipped
-        # entirely (bit-exact: a no-op round only refreshes the canvas
-        # anchor, and the canvas holds exact image content either way)
-        def _ro(s):
-            return round_once(s[0], s[1], s[2], s[3], s[4])
-
-        st_r = (x2f, y2f, status, iters, done, residue, p2l, py0l,
-                px0l)
-        for _ in range(cfg.reanchor_unroll):
-            st_r = jax.lax.cond(jnp.any(st_r[4] == 0), _ro,
-                                lambda s: s, st_r)
-        (x2f, y2f, status, iters, done, residue, p2l, py0l,
-         px0l) = st_r
-    else:
-        for _ in range(cfg.reanchor_unroll):
-            (x2f, y2f, status, iters, done, residue, p2l, py0l,
-             px0l) = round_once(x2f, y2f, status, iters, done)
-
-    # Stall-compaction for the re-anchor tail (see
-    # parallel/batched_lk for the rationale): tail rounds re-extract
-    # and re-launch at full width for a handful of stalled lanes;
-    # gather them into an M-wide state instead.  Bit-exact — lane
-    # trajectories are canvas-anchor- and block-independent.
-    M_TAIL = 128
-    _tc_min = int(os.environ.get("KLT_TPU_STALL_COMPACT_MIN",
-                                 str(4 * M_TAIL)))
-    tail_compact = (use_v2 and n >= _tc_min and
-                    os.environ.get("KLT_TPU_STALL_COMPACT", "1") == "1")
-
-    def outer(state):
-        rounds, x2c, y2c, status, iters, done = state[:6]
-        residue_c, p2l_c, py0l_c, px0l_c = state[6:]
-        if not tail_compact:
-            out = round_once(x2c, y2c, status, iters, done)
-            return (rounds + 1,) + out
-
-        act = done == 0
-        cnt = jnp.sum(act.astype(jnp.int32))
-
-        def full_round(_):
-            return round_once(x2c, y2c, status, iters, done)
-
-        def compact_round(_):
-            slots = jnp.cumsum(act.astype(jnp.int32)) - 1
-            tgt = jnp.where(act, slots, M_TAIL)
-            idx = jnp.zeros((M_TAIL,), jnp.int32).at[tgt].set(
-                jnp.arange(n, dtype=jnp.int32), mode="drop")
-            pad = jnp.arange(M_TAIL, dtype=jnp.int32) >= cnt
-            g = lambda a: jnp.take(a, idx, axis=0)
-            x2g, y2g = g(x2c), g(y2c)
-            dng = jnp.where(pad, 1, g(done))
-            py0, px0 = anchors(x2g, y2g)
-            # extract through the SAME backend/layout as round_once
-            # (the ds2 kernel is built channel-major; a hardcoded
-            # extract_flat here would feed it row-major patches)
-            p2 = extract2(py0, px0)
-            fst = jnp.concatenate(
-                [x2g[:, None], y2g[:, None], g(ax1c), g(ay1c),
-                 px0.astype(jnp.float32)[:, None],
-                 py0.astype(jnp.float32)[:, None]], axis=1)
-            ist = jnp.concatenate(
-                [g(status)[:, None], g(iters)[:, None], dng[:, None],
-                 g(oob1_i), g(o1_cols)], axis=1)
-            fo, io, rs = inner(g(p1w), p2, fst, ist, cfg, k, nc, nr)
-            sidx = jnp.where(pad, n, idx)
-            sc = lambda full, v: full.at[sidx].set(v, mode="drop")
-            return (sc(x2c, fo[:, 0]), sc(y2c, fo[:, 1]),
-                    sc(status, io[:, 0]), sc(iters, io[:, 1]),
-                    sc(done, io[:, 2]), sc(residue_c, rs),
-                    sc(p2l_c, p2), sc(py0l_c, py0), sc(px0l_c, px0))
-
-        out = jax.lax.cond(cnt <= M_TAIL, compact_round, full_round,
-                           None)
-        return (rounds + 1,) + out
-
-    def outer_going(state):
-        rounds, done = state[0], state[5]
-        return jnp.any(done == 0) & (rounds < cfg.max_iterations + 1)
-
-    (_, x2f, y2f, status, iters, _, residue, p2l, py0l,
-     px0l) = jax.lax.while_loop(
-        outer_going, outer,
-        (jnp.int32(0), x2f, y2f, status, iters, done, residue,
-         p2l, py0l, px0l))
+     px0l) = _run_reanchor_tail(
+        first, round_once, lambda py0, px0, idx: extract2(py0, px0),
+        anchors, p1w, ax1c, ay1c, oob1_i, o1_cols, inner,
+        n, k, nc, nr, cfg, use_v2)
     residue = residue[:, 0]
 
     status = _final_status(status, iters, x2f, y2f, residue, hw, hh,

@@ -25,3 +25,12 @@ def interpret_mode() -> bool:
     """Run kernels in Pallas interpret mode (CPU testing of kernel
     logic; set KLT_TPU_PALLAS_INTERPRET=1)."""
     return os.environ.get("KLT_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
+def pallas_key():
+    """The (pallas_enabled, interpret_mode) decision pair, threaded
+    through every jit entry point as a static arg so toggling
+    KLT_TPU_NO_PALLAS / KLT_TPU_PALLAS_INTERPRET between same-shape
+    calls RETRACES instead of silently reusing the stale compiled
+    program."""
+    return (pallas_enabled(), interpret_mode())

@@ -149,103 +149,24 @@ def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
         return (fout[:, 0], fout[:, 1], iout[:, 0], iout[:, 1],
                 iout[:, 2], resn, p2, flat(py0), flat(px0))
 
-    # straight-line re-anchor rounds (see ops.lk: the same body inside
-    # lax.while_loop measures far slower; extra rounds are
-    # deterministic no-ops for converged lanes)
+    # shared re-anchor machinery (ops.lk._run_reanchor_tail):
+    # straight-line / cond-gated unrolled rounds + the stall-compacted
+    # while_loop tail.  This batched path is onehot-only, so the tail
+    # extracts via extract_flat over the batch-flattened stack, with
+    # the gathered lane's sequence index folded into the row offset.
+    from ..ops.lk import _run_reanchor_tail
+    sp2_flat = sp2.reshape(b * nr, cw)
+
+    def tail_extract(py0, px0, idx):
+        return extract_flat(sp2_flat, py0 + (idx // f) * nr, px0,
+                            k, k, k)
+
+    first = round_once(x2f0, y2f0, status0, iters0, done0)
     (x2c, y2c, status, iters, done, residue, p2l, py0l,
-     px0l) = round_once(x2f0, y2f0, status0, iters0, done0)
-    if os.environ.get("KLT_TPU_COND_REANCHOR", "0") == "1":
-        def _ro(s):
-            return round_once(s[0], s[1], s[2], s[3], s[4])
-
-        st_r = (x2c, y2c, status, iters, done, residue, p2l, py0l,
-                px0l)
-        for _ in range(cfg.reanchor_unroll):
-            st_r = jax.lax.cond(jnp.any(st_r[4] == 0), _ro,
-                                lambda s: s, st_r)
-        (x2c, y2c, status, iters, done, residue, p2l, py0l,
-         px0l) = st_r
-    else:
-        for _ in range(cfg.reanchor_unroll):
-            (x2c, y2c, status, iters, done, residue, p2l, py0l,
-             px0l) = round_once(x2c, y2c, status, iters, done)
-
-    # Stall-compaction for the re-anchor tail: after the first round,
-    # the only not-done lanes are stalls/stragglers (typically a
-    # handful of the B*F lanes), yet each tail round pays a FULL-width
-    # p2 extraction + kernel launch.  Gather the active lanes into an
-    # M-wide state, extract/track only those, and scatter back.
-    # Bit-exact: a lane's trajectory is independent of its canvas
-    # anchor (the sampled window content is identical image data) and
-    # of its block's other lanes (all kernel ops are lane-masked).
-    M_TAIL = 128
-    _tc_min = int(os.environ.get("KLT_TPU_STALL_COMPACT_MIN",
-                                 str(4 * M_TAIL)))
-    tail_compact = (use_v2 and n >= _tc_min and
-                    os.environ.get("KLT_TPU_STALL_COMPACT", "1") == "1")
-    if tail_compact:
-        sp2_flat = sp2.reshape(b * nr, cw)
-
-    def outer(state):
-        rounds, x2c, y2c, status, iters, done = state[:6]
-        residue_c, p2l_c, py0l_c, px0l_c = state[6:]
-        if not tail_compact:
-            out = round_once(x2c, y2c, status, iters, done)
-            return (rounds + 1,) + out
-
-        act = done == 0
-        cnt = jnp.sum(act.astype(jnp.int32))
-
-        def full_round(_):
-            return round_once(x2c, y2c, status, iters, done)
-
-        def compact_round(_):
-            # single-sequence twin: ops/lk.py compact_round — keep in
-            # sync (that one must extract via the round's own extract2
-            # backend; this path is onehot-only so extract_flat is the
-            # matching backend, addressed via flat row indexing below)
-            slots = jnp.cumsum(act.astype(jnp.int32)) - 1
-            tgt = jnp.where(act, slots, M_TAIL)
-            idx = jnp.zeros((M_TAIL,), jnp.int32).at[tgt].set(
-                jnp.arange(n, dtype=jnp.int32), mode="drop")
-            pad = jnp.arange(M_TAIL, dtype=jnp.int32) >= cnt
-            g = lambda a: jnp.take(a, idx, axis=0)
-            x2g, y2g = g(x2c), g(y2c)
-            dng = jnp.where(pad, 1, g(done))
-            py0 = jnp.clip(y2g.astype(jnp.int32) - hhi - margin_y,
-                           0, nr - k)
-            px0 = jnp.clip(x2g.astype(jnp.int32) - hwi - margin_x,
-                           0, nc - k)
-            bidx = idx // f
-            p2 = extract_flat(sp2_flat, py0 + bidx * nr, px0, k, k, k)
-            fst = jnp.concatenate(
-                [x2g[:, None], y2g[:, None], g(ax1c), g(ay1c),
-                 px0.astype(jnp.float32)[:, None],
-                 py0.astype(jnp.float32)[:, None]], axis=1)
-            ist = jnp.concatenate(
-                [g(status)[:, None], g(iters)[:, None], dng[:, None],
-                 g(oob1_i), g(o1_cols)], axis=1)
-            fo, io, rs = inner(g(p1w), p2, fst, ist, cfg, k, nc, nr)
-            sidx = jnp.where(pad, n, idx)
-            sc = lambda full, v: full.at[sidx].set(v, mode="drop")
-            return (sc(x2c, fo[:, 0]), sc(y2c, fo[:, 1]),
-                    sc(status, io[:, 0]), sc(iters, io[:, 1]),
-                    sc(done, io[:, 2]), sc(residue_c, rs),
-                    sc(p2l_c, p2), sc(py0l_c, py0), sc(px0l_c, px0))
-
-        out = jax.lax.cond(cnt <= M_TAIL, compact_round, full_round,
-                           None)
-        return (rounds + 1,) + out
-
-    def outer_going(state):
-        rounds, done = state[0], state[5]
-        return jnp.any(done == 0) & (rounds < cfg.max_iterations + 1)
-
-    (_, x2c, y2c, status, iters, _, residue, p2l, py0l,
-     px0l) = jax.lax.while_loop(
-        outer_going, outer,
-        (jnp.int32(0), x2c, y2c, status, iters, done, residue,
-         p2l, py0l, px0l))
+     px0l) = _run_reanchor_tail(
+        first, round_once, tail_extract, anchors,
+        p1w, ax1c, ay1c, oob1_i, o1_cols, inner,
+        n, k, nc, nr, cfg, use_v2)
 
     status = _final_status(status, iters, x2c, y2c, residue[:, 0],
                            hw, hh, ncf, nrf, cfg)
@@ -459,19 +380,21 @@ def track_sequences_batched(frames, x, y, val, cfg: TrackingConfig):
     frames: uint8 [B, T, H, W]; x, y f32 [B, N]; val i32 [B, N].
     Returns (xs, ys, vals) of shape [T-1, B, N].
 
-    The pallas on/off decision (env KLT_TPU_NO_PALLAS / backend) and the
-    KLT_TPU_PRECOMP_PYR toggle are part of the jit cache key, so
-    toggling the env between calls retraces instead of silently reusing
-    the stale compiled path."""
-    from ..pallas import pallas_enabled
+    The pallas on/off + interpret decision (env KLT_TPU_NO_PALLAS /
+    KLT_TPU_PALLAS_INTERPRET / backend) and the KLT_TPU_PRECOMP_PYR
+    toggle are part of the jit cache key, so toggling the env between
+    calls retraces instead of silently reusing the stale compiled
+    path."""
+    from ..pallas import pallas_key
     precomp = os.environ.get("KLT_TPU_PRECOMP_PYR", "0") == "1"
     return _track_sequences_batched(frames, x, y, val, cfg,
-                                    pallas_enabled(), precomp)
+                                    pallas_key(), precomp)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def _track_sequences_batched(frames, x, y, val, cfg: TrackingConfig,
-                             use_pallas: bool, precomp: bool = False):
+                             pallas_key=None, precomp: bool = False):
+    use_pallas = pallas_key[0]
     # precomp (KLT_TPU_PRECOMP_PYR=1): build ALL T frames' pyramid
     # stacks in ONE batched launch (grid B*T instead of B) ahead of the
     # scan and feed them through scan xs — the per-step pyramid build

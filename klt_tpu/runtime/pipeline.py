@@ -45,6 +45,14 @@ def _precomp_enabled() -> bool:
     return os.environ.get("KLT_TPU_PRECOMP_PYR", "0") == "1"
 
 
+def _pallas_key():
+    """See pallas.pallas_key — keyed into every jit wrapper here so
+    env toggles retrace instead of reusing a stale program (an
+    interpret-mode trace must never leak into a no-Pallas caller)."""
+    from ..pallas import pallas_key
+    return pallas_key()
+
+
 def _stacks_stream(frames_tail, cfg: TrackingConfig):
     """Pyramid stacks for T frames in one vmapped (single-launch)
     build: tuple of [T, 3, H_l, W_l] per level."""
@@ -64,12 +72,12 @@ def track_sequence(frames, x, y, val, cfg: TrackingConfig):
     the next step's first-image windows come from it for free).
     """
     return _track_sequence_jit(frames, x, y, val, cfg,
-                               _precomp_enabled())
+                               _precomp_enabled(), _pallas_key())
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def _track_sequence_jit(frames, x, y, val, cfg: TrackingConfig,
-                        precomp: bool):
+                        precomp: bool, pallas_key=None):
     st0 = tuple(build_pyramid_stacks(frames[0], cfg))
     c0 = _init_level_carries(st0, x.shape[0], cfg)
 
@@ -87,7 +95,6 @@ def _track_sequence_jit(frames, x, y, val, cfg: TrackingConfig,
     return tables
 
 
-@functools.partial(jax.jit, static_argnums=3)
 def track_pair_carry(pyr1_state, img2, feat, cfg: TrackingConfig):
     """One frame-pair step with explicit device-resident pyramid carry
     (stacked-level state, as produced by prepare_pyramids).
@@ -96,6 +103,13 @@ def track_pair_carry(pyr1_state, img2, feat, cfg: TrackingConfig):
     host-driven streaming (e.g. with lost-feature replacement between
     frames, which needs the host's greedy suppression).
     """
+    return _track_pair_carry_jit(pyr1_state, img2, feat, cfg,
+                                 _pallas_key())
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _track_pair_carry_jit(pyr1_state, img2, feat, cfg: TrackingConfig,
+                          pallas_key=None):
     x, y, val = feat
     st2 = tuple(build_pyramid_stacks(img2, cfg))
     xn, yn, vn = track_features_pyramid_stacks(
@@ -106,11 +120,11 @@ def track_pair_carry(pyr1_state, img2, feat, cfg: TrackingConfig):
 def prepare_pyramids(img, cfg: TrackingConfig):
     """Jitted pyramid builder (stacked levels) for the first frame of a
     stream."""
-    return _prepare_jit(img, cfg)
+    return _prepare_jit(img, cfg, _pallas_key())
 
 
-@functools.partial(jax.jit, static_argnums=1)
-def _prepare_jit(img, cfg: TrackingConfig):
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _prepare_jit(img, cfg: TrackingConfig, pallas_key=None):
     return tuple(build_pyramid_stacks(img, cfg))
 
 
@@ -126,12 +140,13 @@ def track_sequence_replace(frames, x, y, val, cfg: TrackingConfig):
     [T-1, N] — the state after tracking into frame t and replacing.
     """
     return _track_sequence_replace_jit(frames, x, y, val, cfg,
-                                       _precomp_enabled())
+                                       _precomp_enabled(),
+                                       _pallas_key())
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def _track_sequence_replace_jit(frames, x, y, val, cfg: TrackingConfig,
-                                precomp: bool):
+                                precomp: bool, pallas_key=None):
     from ..ops.replace import replace_lost_features_device
 
     st0 = tuple(build_pyramid_stacks(frames[0], cfg))
@@ -170,12 +185,13 @@ def track_sequence_affine(frames, x, y, val, cfg: TrackingConfig):
     Returns (xs, ys, vals) of shape [T-1, N].
     """
     return _track_sequence_affine_jit(frames, x, y, val, cfg,
-                                      _precomp_enabled())
+                                      _precomp_enabled(),
+                                      _pallas_key())
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def _track_sequence_affine_jit(frames, x, y, val, cfg: TrackingConfig,
-                               precomp: bool):
+                               precomp: bool, pallas_key=None):
     from ..ops.affine import AffineState, _affine_step_jit, _PATCH_BORDER
     import jax.numpy as jnp
 
@@ -264,12 +280,14 @@ def track_sequence_stream(frames_iter, x, y, val, cfg: TrackingConfig,
 def _track_chunk_carry(pyr1_state, frames, x, y, val,
                        cfg: TrackingConfig):
     return _track_chunk_carry_jit(pyr1_state, frames, x, y, val, cfg,
-                                  _precomp_enabled())
+                                  _precomp_enabled(), _pallas_key())
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7),
+                   donate_argnums=(0,))
 def _track_chunk_carry_jit(pyr1_state, frames, x, y, val,
-                           cfg: TrackingConfig, precomp: bool):
+                           cfg: TrackingConfig, precomp: bool,
+                           pallas_key=None):
     """Scan one frame chunk, carrying pyramids in (donated) device
     buffers across dispatches.  The canvas carry resets per chunk (its
     first step extracts), trading ~1/chunk of the carry win for an

@@ -27,6 +27,7 @@ from ..config import TrackingConfig, NOT_FOUND
 from ..features import FeatureList
 from ..ops.convolve import compute_smoothed_image, compute_gradients
 from ..ops.pyramid import build_image_pyramids
+from ..pallas import pallas_key
 from ..ops.selection import (corner_response, candidate_points,
                              candidate_points_topk,
                              selection_prefilter_audit)
@@ -69,8 +70,8 @@ class KLTracker:
     def _pyramids_jit(self):
         cfg = self.cfg
 
-        @jax.jit
-        def fn(img):
+        @functools.partial(jax.jit, static_argnums=1)
+        def fn(img, pallas_key=None):
             pyr, gx, gy = build_image_pyramids(img, cfg)
             return tuple(pyr), tuple(gx), tuple(gy)
 
@@ -80,8 +81,8 @@ class KLTracker:
     def _response_jit(self):
         cfg = self.cfg
 
-        @jax.jit
-        def fn(img):
+        @functools.partial(jax.jit, static_argnums=1)
+        def fn(img, pallas_key=None):
             fi = img.astype(jnp.float32)
             if cfg.smooth_before_selecting:
                 fi = compute_smoothed_image(fi, cfg.smooth_sigma)
@@ -95,8 +96,8 @@ class KLTracker:
     def _response_from_maps_jit(self):
         cfg = self.cfg
 
-        @jax.jit
-        def fn(gx, gy):
+        @functools.partial(jax.jit, static_argnums=2)
+        def fn(gx, gy, pallas_key=None):
             return corner_response(gx, gy, cfg.window_width,
                                    cfg.window_height)
 
@@ -106,8 +107,8 @@ class KLTracker:
     def _track_jit(self):
         cfg = self.cfg
 
-        @jax.jit
-        def fn(pyr1, gx1, gy1, img2, x, y, val):
+        @functools.partial(jax.jit, static_argnums=7)
+        def fn(pyr1, gx1, gy1, img2, x, y, val, pallas_key=None):
             pyr2, gx2, gy2 = build_image_pyramids(img2, cfg)
             xn, yn, vn = track_features_pyramid(
                 list(pyr1), list(gx1), list(gy1), pyr2, gx2, gy2,
@@ -146,9 +147,10 @@ class KLTracker:
             # finest level and its gradients
             # (reference: src/V1/selectGoodFeatures.c:342-348).
             _, gx_pyr, gy_pyr = self._pyr_last
-            response = self._response_from_maps_jit(gx_pyr[0], gy_pyr[0])
+            response = self._response_from_maps_jit(gx_pyr[0], gy_pyr[0],
+                                                    pallas_key())
         else:
-            response = self._response_jit(jnp.asarray(img))
+            response = self._response_jit(jnp.asarray(img), pallas_key())
 
         newly = None if overwrite_all else (fl.val < 0)
         if not self._suppress_prefiltered(response, fl, ncols, nrows,
@@ -225,11 +227,13 @@ class KLTracker:
                     f"incoming image {img2.shape} differs from previous "
                     f"image {pyr1[0].shape}")
         else:
-            pyr1, gx1, gy1 = self._pyramids_jit(jnp.asarray(img1))
+            pyr1, gx1, gy1 = self._pyramids_jit(jnp.asarray(img1),
+                                                pallas_key())
 
         xn, yn, vn, pyr2_state = self._track_jit(
             pyr1, gx1, gy1, jnp.asarray(img2),
-            jnp.asarray(fl.x), jnp.asarray(fl.y), jnp.asarray(fl.val))
+            jnp.asarray(fl.x), jnp.asarray(fl.y), jnp.asarray(fl.val),
+            pallas_key())
 
         if cfg.affine_consistency_check >= 0:
             if self._affine is None:

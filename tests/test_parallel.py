@@ -151,6 +151,46 @@ def test_batched_matches_single_odd_sizes(provided_frames, monkeypatch):
                                        np.asarray(rs[0][-1]), atol=1e-4)
 
 
+def test_sequence_canvas_carry_matches_no_carry(provided_frames,
+                                                monkeypatch):
+    """The sequential canvas carry (default-on inside track_sequence's
+    scan) must be bit-identical to carry-FREE per-pair tracking on the
+    kernel path: the carried p1 window is the same image content the
+    extraction would fetch.  This is the only test that pits the carry
+    against a no-carry oracle (everything else compares two
+    carry-enabled runs), so it guards the validity-bound math in
+    _track_level_kernel and lk2's IO1Y/IO1X window shift."""
+    import jax.numpy as jnp
+    from klt_tpu.config import TrackingConfig
+    from klt_tpu.runtime.pipeline import track_sequence
+    from klt_tpu.ops.pyramid import build_pyramid_stacks
+    from klt_tpu.ops.lk import track_features_pyramid_stacks
+    import klt_tpu as klt
+
+    monkeypatch.setenv("KLT_TPU_PALLAS_INTERPRET", "1")
+    cfg = TrackingConfig(sequential_mode=True)
+    frames = np.stack(provided_frames[:4])
+    tracker = klt.KLTracker(cfg)
+    fl = klt.FeatureList.create(64)
+    tracker.select_good_features(frames[0], fl)
+    x = jnp.asarray(fl.x)
+    y = jnp.asarray(fl.y)
+    v = jnp.asarray(fl.val)
+
+    xs, ys, vs = track_sequence(jnp.asarray(frames), x, y, v, cfg)
+
+    sts = [tuple(build_pyramid_stacks(jnp.asarray(f), cfg))
+           for f in frames]
+    cur = (x, y, v)
+    for t in range(frames.shape[0] - 1):
+        xn, yn, vn = track_features_pyramid_stacks(
+            list(sts[t]), list(sts[t + 1]), *cur, cfg)
+        np.testing.assert_array_equal(np.asarray(vs[t]), np.asarray(vn))
+        np.testing.assert_array_equal(np.asarray(xs[t]), np.asarray(xn))
+        np.testing.assert_array_equal(np.asarray(ys[t]), np.asarray(yn))
+        cur = (xn, yn, vn)
+
+
 def test_precomp_pyramid_bit_exact(provided_frames, monkeypatch):
     """KLT_TPU_PRECOMP_PYR=1 (whole-chunk pyramid stacks built ahead of
     the scan, fed via scan xs) must be bit-identical to the per-step

@@ -40,10 +40,11 @@ def run(dataset: str, n_features: int, n_frames: int):
     fast = pipeline.track_sequence(*args, cfg)
     jax.block_until_ready(fast)
 
+    # the pipeline wrappers key the jit cache on the pallas decision
+    # (pallas.pallas_key), so the env toggle retraces — no need to
+    # bypass the cached entry
     os.environ["KLT_TPU_NO_PALLAS"] = "1"
-    slow = jax.jit(
-        lambda f, x, y, v: pipeline.track_sequence.__wrapped__(
-            f, x, y, v, cfg))(*args)
+    slow = pipeline.track_sequence(*args, cfg)
     jax.block_until_ready(slow)
     del os.environ["KLT_TPU_NO_PALLAS"]
 
