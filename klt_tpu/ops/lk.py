@@ -242,9 +242,33 @@ def make_carry_init(n: int, k: int):
             jnp.full((n,), jnp.int32(-(10 ** 6))))
 
 
+def _tail_compact_enabled(n: int, use_v2: bool) -> bool:
+    """STATIC predicate: stall-compacted tail rounds are on (v2 kernel,
+    enough lanes that a 128-wide tail is a real shrink, env not off)."""
+    import os
+    _tc_min = int(os.environ.get("KLT_TPU_STALL_COMPACT_MIN",
+                                 str(4 * 128)))
+    return (use_v2 and n >= _tc_min and
+            os.environ.get("KLT_TPU_STALL_COMPACT", "1") == "1")
+
+
+def _first_round_iter_cap(tail_compact: bool) -> int:
+    """KLT_TPU_ITER_CAP=J caps the FIRST (full-width) kernel launch at
+    J Newton iterations per level; not-done lanes exit like a stall
+    and finish in the 128-wide compacted tail.  The measured iteration
+    distribution is long-tailed (flagship: mean ~2-3, p99 ~5, max 10),
+    so the full-width launch otherwise runs max-lane iterations for
+    every lane.  Bit-exact (same invariant as re-anchor stalls); only
+    engaged when the compacted tail is on — without it a forced stall
+    costs a full-width round.  Default off pending on-chip A/B."""
+    import os
+    cap = int(os.environ.get("KLT_TPU_ITER_CAP", "0"))
+    return cap if tail_compact else 0
+
+
 def _run_reanchor_tail(first_state, round_once, tail_extract, anchors,
                        p1w, ax1c, ay1c, oob1_i, o1_cols, inner,
-                       n, k, nc, nr, cfg, use_v2):
+                       n, k, nc, nr, cfg, use_v2, tail_compact):
     """Shared re-anchor machinery for the single-sequence and batched
     kernel drivers (_track_level_kernel here and
     parallel/batched_lk._track_level_kernel_batched): the optional
@@ -285,10 +309,6 @@ def _run_reanchor_tail(first_state, round_once, tail_extract, anchors,
     # and re-launch at full width for a handful of stalled lanes;
     # gather them into an M-wide state instead.
     M_TAIL = 128
-    _tc_min = int(os.environ.get("KLT_TPU_STALL_COMPACT_MIN",
-                                 str(4 * M_TAIL)))
-    tail_compact = (use_v2 and n >= _tc_min and
-                    os.environ.get("KLT_TPU_STALL_COMPACT", "1") == "1")
 
     def outer(state):
         rounds, x2c, y2c, status, iters, done = state[:6]
@@ -485,7 +505,7 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
         else:
             p1w = extract_flat(sp1, y10, x10, h + 1, w + 1, k)
 
-    def round_once(x2c, y2c, status, iters, done, p2=None):
+    def round_once(x2c, y2c, status, iters, done, p2=None, cap=0):
         py0, px0 = anchors(x2c, y2c)
         if p2 is None:
             p2 = extract2(py0, px0)
@@ -497,8 +517,12 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
         if use_v2:  # v2 adds the p1-canvas window offset
             icols.append(o1_cols)
         istate = jnp.concatenate(icols, axis=1)
-        fout, iout, resn = inner(p1w, p2, fstate, istate,
-                                 cfg, k, nc, nr)
+        if cap:  # v2-only static per-launch iteration cap
+            fout, iout, resn = inner(p1w, p2, fstate, istate,
+                                     cfg, k, nc, nr, iter_cap=cap)
+        else:
+            fout, iout, resn = inner(p1w, p2, fstate, istate,
+                                     cfg, k, nc, nr)
         return (fout[:, 0], fout[:, 1], iout[:, 0], iout[:, 1],
                 iout[:, 2], resn, p2, py0, px0)
 
@@ -508,12 +532,14 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
     # Tail extraction goes through the round's own extract2 backend
     # (the ds2 kernel is built channel-major; a hardcoded extract_flat
     # would feed it row-major patches).
-    first = round_once(x2, y2, status0, iters0, done0, p2=p2_first)
+    tail_compact = _tail_compact_enabled(n, use_v2)
+    first = round_once(x2, y2, status0, iters0, done0, p2=p2_first,
+                       cap=_first_round_iter_cap(tail_compact))
     (x2f, y2f, status, iters, done, residue, p2l, py0l,
      px0l) = _run_reanchor_tail(
         first, round_once, lambda py0, px0, idx: extract2(py0, px0),
         anchors, p1w, ax1c, ay1c, oob1_i, o1_cols, inner,
-        n, k, nc, nr, cfg, use_v2)
+        n, k, nc, nr, cfg, use_v2, tail_compact)
     residue = residue[:, 0]
 
     status = _final_status(status, iters, x2f, y2f, residue, hw, hh,

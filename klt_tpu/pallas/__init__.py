@@ -27,10 +27,24 @@ def interpret_mode() -> bool:
     return os.environ.get("KLT_TPU_PALLAS_INTERPRET", "0") == "1"
 
 
+# every env knob the tracking path reads at TRACE time; part of the
+# jit cache key (pallas_key) so toggling any of them between
+# same-shape calls retraces instead of silently reusing the stale
+# compiled program
+_TRACE_KNOBS = (
+    ("KLT_TPU_LK_V1", "0"),
+    ("KLT_TPU_EXTRACT", "onehot"),
+    ("KLT_TPU_MERGED_EXTRACT", "0"),
+    ("KLT_TPU_COND_REANCHOR", "0"),
+    ("KLT_TPU_STALL_COMPACT", "1"),
+    ("KLT_TPU_STALL_COMPACT_MIN", ""),
+    ("KLT_TPU_ITER_CAP", "0"),
+)
+
+
 def pallas_key():
-    """The (pallas_enabled, interpret_mode) decision pair, threaded
-    through every jit entry point as a static arg so toggling
-    KLT_TPU_NO_PALLAS / KLT_TPU_PALLAS_INTERPRET between same-shape
-    calls RETRACES instead of silently reusing the stale compiled
-    program."""
-    return (pallas_enabled(), interpret_mode())
+    """Fingerprint of every trace-time kernel-path decision — the
+    Pallas on/off + interpret pair plus the _TRACE_KNOBS env values —
+    threaded through every jit entry point as a static arg."""
+    return (pallas_enabled(), interpret_mode(),
+            tuple(os.environ.get(k, d) for k, d in _TRACE_KNOBS))

@@ -53,7 +53,8 @@ ISTATUS, IITERS, IDONE, IOOB1, IO1Y, IO1X = range(6)
 
 
 def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
-                 layout: str = "rc", want_residue: bool = True):
+                 layout: str = "rc", want_residue: bool = True,
+                 iter_cap: int = 0):
     w, h = cfg.window_width, cfg.window_height
     hw, hh = np.float32(w // 2), np.float32(h // 2)
     hwi, hhi = w // 2, h // 2
@@ -256,7 +257,7 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
             return dx, dy, small, C
 
         def body(state):
-            x2c, y2c, status, iters, done_i, _ = state
+            x2c, y2c, status, iters, done_i = state[:5]
             done = done_i != 0
             oob = oob1 | window_oob(x2c, y2c)
             status = jnp.where(~done & oob, OOB, status)
@@ -277,17 +278,26 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
             conv = (jnp.abs(dx) < th) & (jnp.abs(dy) < th)
             done = done | (upd & (conv | (iters >= max_iter)))
             return (x2c, y2c, status, iters, done.astype(jnp.int32),
-                    jnp.any(stall).astype(jnp.int32))
+                    jnp.any(stall).astype(jnp.int32),
+                    state[6] + 1)
 
         def going(state):
-            done_i, stalled = state[4], state[5]
-            return jnp.any(done_i == 0) & (stalled == 0)
+            done_i, stalled, local = state[4], state[5], state[6]
+            go = jnp.any(done_i == 0) & (stalled == 0)
+            if iter_cap:
+                # per-launch cap: not-done lanes exit like a stall and
+                # resume bit-exactly in the (compacted) tail rounds —
+                # a forced stall at `iter_cap` trips (the lane's
+                # trajectory is independent of where the launch
+                # boundary falls, same invariant as re-anchor stalls)
+                go = go & (local < iter_cap)
+            return go
 
-        x2f, y2f, status, iters, done_i, _ = jax.lax.while_loop(
+        x2f, y2f, status, iters, done_i, _, _ = jax.lax.while_loop(
             going, body,
             (fs[:, FX2:FX2 + 1], fs[:, FY2:FY2 + 1],
              is_ref[:, ISTATUS:ISTATUS + 1], is_ref[:, IITERS:IITERS + 1],
-             is_ref[:, IDONE:IDONE + 1], jnp.int32(0)))
+             is_ref[:, IDONE:IDONE + 1], jnp.int32(0), jnp.int32(0)))
 
         if want_residue:
             # residue at the final (clamped) position
@@ -338,9 +348,11 @@ FEATURE_BLOCK = int(os.environ.get("KLT_TPU_FEATURE_BLOCK", "512"))
 
 @functools.lru_cache(maxsize=64)
 def _inner_call(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
-                fb: int, layout: str, want_residue: bool = True):
+                fb: int, layout: str, want_residue: bool = True,
+                iter_cap: int = 0):
     from . import interpret_mode
-    kernel = _make_kernel(cfg, k, nc, nr, fb, layout, want_residue)
+    kernel = _make_kernel(cfg, k, nc, nr, fb, layout, want_residue,
+                          iter_cap)
     n_blocks = f // fb
     L = 3 * k * k
     bspec = lambda lanes: pl.BlockSpec((fb, lanes), lambda i: (i, 0))
@@ -360,7 +372,7 @@ def _inner_call(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
 
 def lk_level_inner_flat(p1, p2, fstate, istate, cfg: TrackingConfig,
                         k: int, nc: int, nr: int, layout: str = "rc",
-                        want_residue: bool = True):
+                        want_residue: bool = True, iter_cap: int = 0):
     """v2 entry: p1, p2 are [F, 3*k*k] flattened-lane patches sharing
     the SAME canvas geometry.  p1 holds the (h+1) x (w+1) first-image
     window at canvas offset (istate[:, IO1Y], istate[:, IO1X]) — (0, 0)
@@ -384,7 +396,7 @@ def lk_level_inner_flat(p1, p2, fstate, istate, cfg: TrackingConfig,
         ipad = jnp.zeros((pad, 6), jnp.int32).at[:, IDONE].set(1)
         istate = jnp.concatenate([istate, ipad])
     call = _inner_call(cfg, k, nc, nr, f + pad, fb, layout,
-                       want_residue)
+                       want_residue, iter_cap)
     fout, iout, res = call(p1, p2, fstate, istate)
     if pad:
         fout, iout, res = fout[:f], iout[:f], res[:f]

@@ -133,7 +133,7 @@ def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
     iters0 = jnp.zeros((n,), jnp.int32)
     done0 = (~active).reshape(n).astype(jnp.int32)
 
-    def round_once(x2c, y2c, status, iters, done):
+    def round_once(x2c, y2c, status, iters, done, cap=0):
         py0, px0 = anchors(x2c.reshape(b, f), y2c.reshape(b, f))
         p2 = extract2(py0, px0)
         fstate = jnp.concatenate(
@@ -144,8 +144,12 @@ def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
         if use_v2:
             icols.append(o1_cols)
         istate = jnp.concatenate(icols, axis=1)
-        fout, iout, resn = inner(p1w, p2, fstate, istate,
-                                 cfg, k, nc, nr)
+        if cap:  # v2-only static per-launch iteration cap
+            fout, iout, resn = inner(p1w, p2, fstate, istate,
+                                     cfg, k, nc, nr, iter_cap=cap)
+        else:
+            fout, iout, resn = inner(p1w, p2, fstate, istate,
+                                     cfg, k, nc, nr)
         return (fout[:, 0], fout[:, 1], iout[:, 0], iout[:, 1],
                 iout[:, 2], resn, p2, flat(py0), flat(px0))
 
@@ -154,19 +158,22 @@ def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
     # while_loop tail.  This batched path is onehot-only, so the tail
     # extracts via extract_flat over the batch-flattened stack, with
     # the gathered lane's sequence index folded into the row offset.
-    from ..ops.lk import _run_reanchor_tail
+    from ..ops.lk import (_run_reanchor_tail, _tail_compact_enabled,
+                          _first_round_iter_cap)
     sp2_flat = sp2.reshape(b * nr, cw)
 
     def tail_extract(py0, px0, idx):
         return extract_flat(sp2_flat, py0 + (idx // f) * nr, px0,
                             k, k, k)
 
-    first = round_once(x2f0, y2f0, status0, iters0, done0)
+    tail_compact = _tail_compact_enabled(n, use_v2)
+    first = round_once(x2f0, y2f0, status0, iters0, done0,
+                       cap=_first_round_iter_cap(tail_compact))
     (x2c, y2c, status, iters, done, residue, p2l, py0l,
      px0l) = _run_reanchor_tail(
         first, round_once, tail_extract, anchors,
         p1w, ax1c, ay1c, oob1_i, o1_cols, inner,
-        n, k, nc, nr, cfg, use_v2)
+        n, k, nc, nr, cfg, use_v2, tail_compact)
 
     status = _final_status(status, iters, x2c, y2c, residue[:, 0],
                            hw, hh, ncf, nrf, cfg)

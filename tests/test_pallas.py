@@ -136,6 +136,17 @@ def test_stall_compaction_bit_exact(provided_frames, interpret_pallas,
     for r, o in zip(ref, ref2):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
 
+    # KLT_TPU_ITER_CAP: capping the first full-width launch and
+    # finishing stragglers in the compacted tail is a forced stall —
+    # must be bit-identical to the uncapped run for every cap value
+    monkeypatch.delenv("KLT_TPU_EXTRACT", raising=False)
+    for cap in (1, 5):
+        monkeypatch.setenv("KLT_TPU_ITER_CAP", str(cap))
+        outc = jax.jit(lambda *a: LK._track_level_kernel(*a, cfg))(
+            s1, s2, x, y, x, y, act)
+        for r, o in zip(ref, outc):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
+
 
 @pytest.mark.slow
 def test_lk2_channel_major_layout_matches(provided_frames, monkeypatch):
