@@ -266,6 +266,56 @@ def _first_round_iter_cap(tail_compact: bool) -> int:
     return cap if tail_compact else 0
 
 
+def _carry_p1_select(cv, o1y, o1x, ok, active, extract_rows,
+                     extract_full, o1_zero, n, m=128):
+    """p1 window source under the sequential canvas carry — bit-exact
+    three-way select (the sampled window is identical image data in
+    every arm):
+
+      no bad lanes  -> carried canvas + per-lane offsets (free);
+      <= m bad      -> refresh ONLY the bad lanes (m-wide extraction
+                       scattered into the carried canvas; refreshed
+                       lanes sample at offset 0, carried lanes keep
+                       their offsets) — this is what keeps the carry
+                       alive under per-frame replacement, where a
+                       handful of stale lanes used to force a
+                       full-width extraction for everyone;
+      otherwise     -> full-width extraction at offset 0.
+
+    extract_rows(idx [m]) -> [m, L] fresh windows for gathered lanes;
+    extract_full() -> [n, L].  KLT_TPU_CARRY_REFRESH=0 restores the
+    all-or-nothing behavior (keyed via pallas_key)."""
+    import os
+    o1_carried = jnp.stack([o1y, o1x], axis=1)
+    bad = active & ~ok
+    cnt = jnp.sum(bad.astype(jnp.int32))
+    use_partial = (n > m and
+                   os.environ.get("KLT_TPU_CARRY_REFRESH", "1") == "1")
+    if not use_partial:
+        return jax.lax.cond(
+            cnt == 0,
+            lambda: (cv, o1_carried),
+            lambda: (extract_full(), o1_zero))
+
+    def partial_fn():
+        slots = jnp.cumsum(bad.astype(jnp.int32)) - 1
+        tgt = jnp.where(bad, slots, m)
+        idx = jnp.zeros((m,), jnp.int32).at[tgt].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        pad = jnp.arange(m, dtype=jnp.int32) >= cnt
+        fresh = extract_rows(idx)
+        sidx = jnp.where(pad, n, idx)
+        p1 = cv.at[sidx].set(fresh, mode="drop")
+        oc = jnp.where(bad[:, None], 0, o1_carried)
+        return p1, oc
+
+    return jax.lax.cond(
+        cnt == 0,
+        lambda: (cv, o1_carried),
+        lambda: jax.lax.cond(cnt <= m, partial_fn,
+                             lambda: (extract_full(), o1_zero)))
+
+
 def _run_reanchor_tail(first_state, round_once, tail_extract, anchors,
                        p1w, ax1c, ay1c, oob1_i, o1_cols, inner,
                        n, k, nc, nr, cfg, use_v2, tail_compact):
@@ -496,12 +546,13 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
                   (o1x >= 0) & (o1x <= k - (w + 1)))
             if stale is not None:
                 ok = ok & ~stale
-            all_ok = jnp.all(ok | ~active)
-            p1w, o1_cols = jax.lax.cond(
-                all_ok,
-                lambda: (cv, jnp.stack([o1y, o1x], axis=1)),
-                lambda: (extract_flat(sp1, y10, x10, h + 1, w + 1, k),
-                         o1_zero))
+            p1w, o1_cols = _carry_p1_select(
+                cv, o1y, o1x, ok, active,
+                lambda idx: extract_flat(sp1, jnp.take(y10, idx),
+                                         jnp.take(x10, idx),
+                                         h + 1, w + 1, k),
+                lambda: extract_flat(sp1, y10, x10, h + 1, w + 1, k),
+                o1_zero, n)
         else:
             p1w = extract_flat(sp1, y10, x10, h + 1, w + 1, k)
 

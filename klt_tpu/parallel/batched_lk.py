@@ -98,16 +98,23 @@ def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
             p1w = extract_p1()
             o1_cols = o1_zero
         else:
+            from ..ops.lk import _carry_p1_select
             cv, qy0p, qx0p = carry_in
-            o1y = flat(y10) - qy0p
-            o1x = flat(x10) - qx0p
+            y10f, x10f = flat(y10), flat(x10)
+            o1y = y10f - qy0p
+            o1x = x10f - qx0p
             ok = ((o1y >= 0) & (o1y <= k - (h + 1)) &
                   (o1x >= 0) & (o1x <= k - (w + 1)))
-            all_ok = jnp.all(ok | ~active.reshape(n))
-            p1w, o1_cols = jax.lax.cond(
-                all_ok,
-                lambda: (cv, jnp.stack([o1y, o1x], axis=1)),
-                lambda: (extract_p1(), o1_zero))
+            sp1_flat = sp1.reshape(b * nr, cw)
+
+            def refresh_rows(idx):
+                return extract_flat(
+                    sp1_flat, jnp.take(y10f, idx) + (idx // f) * nr,
+                    jnp.take(x10f, idx), h + 1, w + 1, k)
+
+            p1w, o1_cols = _carry_p1_select(
+                cv, o1y, o1x, ok, active.reshape(n), refresh_rows,
+                extract_p1, o1_zero, n)
         extract2 = lambda py0, px0: exf(sp2, py0, px0, k, k,
                                         k).reshape(n, L)
     else:

@@ -191,6 +191,35 @@ def test_sequence_canvas_carry_matches_no_carry(provided_frames,
         cur = (xn, yn, vn)
 
 
+def test_carry_partial_refresh_bit_exact(provided_frames, monkeypatch):
+    """KLT_TPU_CARRY_REFRESH (refresh only the stale lanes of the
+    carried p1 canvas) must be bit-identical to the all-or-nothing
+    fallback.  Exercised on the replacement scan, where freshly
+    replaced features mark their carry stale EVERY step — the exact
+    case the partial refresh exists for — with n > 128 so the
+    compacted arm engages."""
+    import jax.numpy as jnp
+    from klt_tpu.config import TrackingConfig
+    from klt_tpu.runtime.pipeline import track_sequence_replace
+    import klt_tpu as klt
+
+    monkeypatch.setenv("KLT_TPU_PALLAS_INTERPRET", "1")
+    cfg = TrackingConfig(sequential_mode=True)
+    frames = np.stack(provided_frames[:4])
+    tracker = klt.KLTracker(cfg)
+    fl = klt.FeatureList.create(160)
+    tracker.select_good_features(frames[0], fl)
+    args = (jnp.asarray(frames), jnp.asarray(fl.x), jnp.asarray(fl.y),
+            jnp.asarray(fl.val), cfg)
+
+    monkeypatch.setenv("KLT_TPU_CARRY_REFRESH", "0")
+    base = [np.asarray(a) for a in track_sequence_replace(*args)]
+    monkeypatch.setenv("KLT_TPU_CARRY_REFRESH", "1")
+    out = [np.asarray(a) for a in track_sequence_replace(*args)]
+    for a, r in zip(out, base):
+        np.testing.assert_array_equal(a, r)
+
+
 def test_precomp_pyramid_bit_exact(provided_frames, monkeypatch):
     """KLT_TPU_PRECOMP_PYR=1 (whole-chunk pyramid stacks built ahead of
     the scan, fed via scan xs) must be bit-identical to the per-step
