@@ -219,6 +219,25 @@ def test_lk2_multi_block_features(provided_frames, monkeypatch):
 # correctness is covered by the oracle/equality/golden tests above,
 # and the matrices' per-case cost doubled once the carry paths joined
 # the interpret-mode compiles.
+def test_iter_cap_gating(monkeypatch):
+    """The first-launch iteration cap must engage ONLY when the
+    compacted tail is active — a forced stall without it costs a
+    full-width round (slower, though still bit-exact)."""
+    from klt_tpu.ops.lk import (_first_round_iter_cap,
+                                _tail_compact_enabled)
+    monkeypatch.setenv("KLT_TPU_ITER_CAP", "5")
+    assert _first_round_iter_cap(True) == 5
+    assert _first_round_iter_cap(False) == 0
+    monkeypatch.delenv("KLT_TPU_ITER_CAP", raising=False)
+    assert _first_round_iter_cap(True) == 0
+    # tail compaction needs the v2 kernel and enough lanes
+    assert not _tail_compact_enabled(150, True)
+    assert _tail_compact_enabled(512, True)
+    assert not _tail_compact_enabled(4096, False)
+    monkeypatch.setenv("KLT_TPU_STALL_COMPACT", "0")
+    assert not _tail_compact_enabled(4096, True)
+
+
 def test_lk2_geometry_hazard_case(provided_frames, monkeypatch):
     """FAST-GATE representative of the window-geometry matrix: 9x9 is
     the geometry whose reduce-tree span historically WRAPPED the lane
