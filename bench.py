@@ -238,6 +238,64 @@ def bench_flagship_batched(jax, jnp, klt, out):
         os.environ.pop("KLT_TPU_PRECOMP_PYR", None)
     else:
         os.environ["KLT_TPU_PRECOMP_PYR"] = pre_saved
+
+    # iteration-cap probe at the winning (B, precomp) point: bit-exact
+    # (forced stalls drain through the compacted tail; lane-0 goldens
+    # above hold for any cap), keyed via pallas_key so the toggle
+    # retraces.  KLT_TPU_BENCH_CAP narrows/disables the probe.
+    csweep = tuple(int(s) for s in os.environ.get(
+        "KLT_TPU_BENCH_CAP", "5").split(",") if s)
+    if csweep and best_entry is not None:
+        b = best_entry["batch"]
+        cap_saved = os.environ.get("KLT_TPU_ITER_CAP")
+        os.environ["KLT_TPU_PRECOMP_PYR"] = (
+            "1" if best_entry.get("precomp_pyramids") else "0")
+        fb = jnp.asarray(np.broadcast_to(
+            frames, (b,) + frames.shape).copy())
+        x = jnp.asarray(np.broadcast_to(fl.x, (b, 150)).copy())
+        y = jnp.asarray(np.broadcast_to(fl.y, (b, 150)).copy())
+        v = jnp.asarray(np.broadcast_to(fl.val, (b, 150)).copy())
+        reps = int(os.environ.get("KLT_TPU_BENCH_REPS", "10"))
+        for cap in csweep:
+            os.environ["KLT_TPU_ITER_CAP"] = str(cap)
+
+            @jax.jit
+            def timed_run_c(fb, x, y, v):
+                def body(i, acc):
+                    xs, ys, vs = track_sequences_batched(
+                        fb, x + 1e-4 * i.astype(jnp.float32), y, v,
+                        cfg)
+                    return acc + xs[-1]
+                return jax.lax.fori_loop(0, reps, body,
+                                         jnp.zeros_like(x))
+
+            r = timed_run_c(fb, x, y, v)
+            jax.block_until_ready(r)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                r = timed_run_c(fb, x, y, v)
+                jax.block_until_ready(r)
+                best = min(best, (time.perf_counter() - t0) / reps)
+            agg = b * n_pairs / best
+            entry = dict(best_entry)
+            entry.update({
+                "iter_cap": cap,
+                "aggregate_frames_per_s": round(agg, 1),
+                "vs_baseline_fps": round(agg / CPU_BASELINE_FPS, 1),
+                "tracked_features_per_s": round(agg * 150, 0),
+            })
+            out[f"flagship_batched_b{b}_cap{cap}"] = entry
+            if agg > best_entry["aggregate_frames_per_s"]:
+                best_entry = entry
+        if cap_saved is None:
+            os.environ.pop("KLT_TPU_ITER_CAP", None)
+        else:
+            os.environ["KLT_TPU_ITER_CAP"] = cap_saved
+        if pre_saved is None:
+            os.environ.pop("KLT_TPU_PRECOMP_PYR", None)
+        else:
+            os.environ["KLT_TPU_PRECOMP_PYR"] = pre_saved
     out["flagship_batched_throughput"] = dict(best_entry)
 
 
