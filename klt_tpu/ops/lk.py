@@ -204,6 +204,23 @@ def _kernel_patch_size(nr: int, nc: int, cfg: TrackingConfig) -> int:
                max(cfg.window_width, cfg.window_height) + 3)
 
 
+def _p2_rows(k: int, h: int) -> int:
+    """Extracted rows of the p2 canvas (KLT_TPU_P2_ROWS; 0 = full k).
+
+    The canvas stays k x k lanes for the kernel, but extraction fills
+    only the first nyk rows (extract_flat* zero-pads the rest) and the
+    kernel's y re-anchor bound tightens to nyk-(h+1) — extraction row
+    MACs and band bytes scale by nyk/k, while lanes that move past the
+    shorter margin stall into the (compacted) tail rounds bit-exactly.
+    Measured on-chip: 12 rows won at the flagship batched config
+    (see PARITY.md round-3 table)."""
+    import os
+    v = int(os.environ.get("KLT_TPU_P2_ROWS", "0"))
+    if v <= 0:
+        return k
+    return min(k, max(h + 2, v))
+
+
 def _pack_patches(p):
     """[F, C, ny, nx] -> [F, ny, C*nx] channel-block lane packing."""
     f, c, ny, nx = p.shape
@@ -437,7 +454,6 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
     nr, nc = stack1.shape[-2], stack1.shape[-1]
     k = _kernel_patch_size(nr, nc, cfg)
     ncf, nrf = np.float32(nc), np.float32(nr)
-    margin_y = (k - (h + 1)) // 2
     margin_x = (k - (w + 1)) // 2
     n = x1.shape[0]
 
@@ -463,6 +479,11 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
     use_v2 = (os.environ.get("KLT_TPU_LK_V1", "0") != "1"
               and lk2.supported(cfg, k))
     exmode = os.environ.get("KLT_TPU_EXTRACT", "onehot")
+    # short p2 canvas (v2 one-hot/ds paths only; the merged-extract
+    # knob shares one ny=k extraction between p1 and p2)
+    nyk = (_p2_rows(k, h) if use_v2 and
+           os.environ.get("KLT_TPU_MERGED_EXTRACT", "0") != "1" else k)
+    margin_y = (nyk - (h + 1)) // 2
     if use_v2 and exmode in ("ds", "ds2"):
         # block-gather variants: one vmapped dynamic_slice per image
         # (XLA lowers to a single contiguous-block gather).  "ds2"
@@ -473,7 +494,8 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
         layout = "cr" if exmode == "ds2" else "rc"
         inner = functools.partial(lk2.lk_level_inner_flat,
                                   layout=layout,
-                                  want_residue=want_residue)
+                                  want_residue=want_residue,
+                                  ny_eff=nyk)
 
         def _ds_flat(stack, y0, x0, ny, nx):
             # lane count comes from y0 (the stall-compacted tail
@@ -488,11 +510,13 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
             return out.reshape(y0.shape[0], 3 * k * k)
 
         p1w = _ds_flat(stack1, y10, x10, h + 1, w + 1)
-        extract2 = lambda py0, px0: _ds_flat(stack2, py0, px0, k, k)
+        extract2 = lambda py0, px0: _ds_flat(stack2, py0, px0, nyk, k)
     elif use_v2:
         inner = functools.partial(lk2.lk_level_inner_flat,
-                                  want_residue=want_residue)
-        extract2 = lambda py0, px0: extract_flat(sp2, py0, px0, k, k, k)
+                                  want_residue=want_residue,
+                                  ny_eff=nyk)
+        extract2 = lambda py0, px0: extract_flat(sp2, py0, px0, nyk,
+                                                 k, k)
         p1w = None  # set below (possibly merged with round-1 p2)
     else:
         inner = functools.partial(lk_level_inner,
@@ -503,7 +527,8 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
     oob1 = _window_oob(x1, y1, hw, hh, ncf, nrf)
 
     def anchors(x2c, y2c):
-        py0 = jnp.clip(y2c.astype(jnp.int32) - hhi - margin_y, 0, nr - k)
+        py0 = jnp.clip(y2c.astype(jnp.int32) - hhi - margin_y, 0,
+                       nr - nyk)
         px0 = jnp.clip(x2c.astype(jnp.int32) - hwi - margin_x, 0, nc - k)
         return py0, px0
 
@@ -542,7 +567,7 @@ def _track_level_kernel(stack1, stack2, x1, y1, x2, y2, active,
             cv, qy0p, qx0p = carry_in
             o1y = y10 - qy0p
             o1x = x10 - qx0p
-            ok = ((o1y >= 0) & (o1y <= k - (h + 1)) &
+            ok = ((o1y >= 0) & (o1y <= nyk - (h + 1)) &
                   (o1x >= 0) & (o1x <= k - (w + 1)))
             if stale is not None:
                 ok = ok & ~stale

@@ -54,7 +54,7 @@ ISTATUS, IITERS, IDONE, IOOB1, IO1Y, IO1X = range(6)
 
 def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
                  layout: str = "rc", want_residue: bool = True,
-                 iter_cap: int = 0):
+                 iter_cap: int = 0, ny_eff: int = 0):
     w, h = cfg.window_width, cfg.window_height
     hw, hh = np.float32(w // 2), np.float32(h // 2)
     hwi, hhi = w // 2, h // 2
@@ -66,7 +66,15 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
     max_iter = cfg.max_iterations
     lighting = cfg.lighting_insensitive
     n_off_x = k - (w + 1) + 1  # valid in-patch column offsets
-    n_off_y = k - (h + 1) + 1  # valid in-patch row offsets
+    # ny_eff < k: the canvas geometry stays k x k lanes, but only the
+    # first ny_eff rows hold extracted image data (the rest are zero
+    # pad that is never read) — the y re-anchor bound tightens to
+    # match, so a lane whose window would enter the pad STALLS instead
+    # and resumes bit-exactly in the (compacted) tail rounds.
+    # Extraction MACs and band traffic scale with the extracted rows.
+    nyk = ny_eff if ny_eff else k
+    assert h + 1 < nyk <= k
+    n_off_y = nyk - (h + 1) + 1  # valid in-patch row offsets
     if layout == "rc":       # lane J = r*3K + c*K + i (canvas order)
         rs, cs = 3 * k, k
     else:                    # "cr": J = c*K^2 + r*K + i — the NATIVE
@@ -201,8 +209,33 @@ def _make_kernel(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
             ay = y2c - yt.astype(jnp.float32)
             ox = xt - hwi - a2xi
             oy = yt - hhi - a2yi
-            ovf = ((ox < 0) | (ox > n_off_x - 1) |
-                   (oy < 0) | (oy > n_off_y - 1))
+            # In-loop stall bounds are one offset STRICTER than the
+            # canvas allows: the post-loop residue samples at the
+            # final position, which a converged lane's last sub-th
+            # update can push one integer row/col past its last
+            # in-loop sample — reserving the boundary offsets keeps
+            # that clip-free (exact, like the reference's
+            # _computeIntensityDifference at the final position).
+            # Where the canvas anchor is image-CLIPPED the canvas edge
+            # IS the image edge, so the boundary offset is exact and
+            # the stall would never help — relax it there (a crossing
+            # past the image edge is caught by the final OOB check).
+            # Geometries too tight to give up an offset (n_off < 4)
+            # keep the permissive bounds (the pre-existing clamped-
+            # residue behavior).
+            if n_off_x >= 4:
+                lo_x = jnp.where(a2xi == 0, 0, 1)
+                hi_x = jnp.where(a2xi == nc - k, n_off_x - 1,
+                                 n_off_x - 2)
+            else:
+                lo_x, hi_x = 0, n_off_x - 1
+            if n_off_y >= 4:
+                lo_y = jnp.where(a2yi == 0, 0, 1)
+                hi_y = jnp.where(a2yi == nr - nyk, n_off_y - 1,
+                                 n_off_y - 2)
+            else:
+                lo_y, hi_y = 0, n_off_y - 1
+            ovf = (ox < lo_x) | (ox > hi_x) | (oy < lo_y) | (oy > hi_y)
             oxc = jnp.clip(ox, 0, n_off_x - 1)
             oyc = jnp.clip(oy, 0, n_off_y - 1)
             win = shift_to(p2, oyc, oxc)
@@ -349,10 +382,10 @@ FEATURE_BLOCK = int(os.environ.get("KLT_TPU_FEATURE_BLOCK", "512"))
 @functools.lru_cache(maxsize=64)
 def _inner_call(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
                 fb: int, layout: str, want_residue: bool = True,
-                iter_cap: int = 0):
+                iter_cap: int = 0, ny_eff: int = 0):
     from . import interpret_mode
     kernel = _make_kernel(cfg, k, nc, nr, fb, layout, want_residue,
-                          iter_cap)
+                          iter_cap, ny_eff)
     n_blocks = f // fb
     L = 3 * k * k
     bspec = lambda lanes: pl.BlockSpec((fb, lanes), lambda i: (i, 0))
@@ -372,7 +405,8 @@ def _inner_call(cfg: TrackingConfig, k: int, nc: int, nr: int, f: int,
 
 def lk_level_inner_flat(p1, p2, fstate, istate, cfg: TrackingConfig,
                         k: int, nc: int, nr: int, layout: str = "rc",
-                        want_residue: bool = True, iter_cap: int = 0):
+                        want_residue: bool = True, iter_cap: int = 0,
+                        ny_eff: int = 0):
     """v2 entry: p1, p2 are [F, 3*k*k] flattened-lane patches sharing
     the SAME canvas geometry.  p1 holds the (h+1) x (w+1) first-image
     window at canvas offset (istate[:, IO1Y], istate[:, IO1X]) — (0, 0)
@@ -396,7 +430,7 @@ def lk_level_inner_flat(p1, p2, fstate, istate, cfg: TrackingConfig,
         ipad = jnp.zeros((pad, 6), jnp.int32).at[:, IDONE].set(1)
         istate = jnp.concatenate([istate, ipad])
     call = _inner_call(cfg, k, nc, nr, f + pad, fb, layout,
-                       want_residue, iter_cap)
+                       want_residue, iter_cap, ny_eff)
     fout, iout, res = call(p1, p2, fstate, istate)
     if pad:
         fout, iout, res = fout[:f], iout[:f], res[:f]

@@ -59,7 +59,6 @@ def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
     hwi, hhi = w // 2, h // 2
     k = _kernel_patch_size(nr, nc, cfg)
     ncf, nrf = np.float32(nc), np.float32(nr)
-    margin_y = (k - (h + 1)) // 2
     margin_x = (k - (w + 1)) // 2
 
     flat = lambda v: v.reshape(n)
@@ -76,13 +75,17 @@ def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
     from ..pallas import lk2
     use_v2 = (os.environ.get("KLT_TPU_LK_V1", "0") != "1"
               and lk2.supported(cfg, k))
+    from ..ops.lk import _p2_rows
+    nyk = _p2_rows(k, h) if use_v2 else k  # short p2 canvas
+    margin_y = (nyk - (h + 1)) // 2
     import functools as _ft
     if use_v2:
         from ..ops.interp import (extract_flat, extract_flat_rows,
                                   extract_flat_tiled, _ROWS_MIN_F,
                                   _TILED)
         inner = _ft.partial(lk2.lk_level_inner_flat,
-                            want_residue=want_residue)
+                            want_residue=want_residue,
+                            ny_eff=nyk)
         L = 3 * k * k
         # formulation choice is by TOTAL feature count B*F (each vmap
         # lane only sees F, but the einsums batch over B)
@@ -103,7 +106,7 @@ def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
             y10f, x10f = flat(y10), flat(x10)
             o1y = y10f - qy0p
             o1x = x10f - qx0p
-            ok = ((o1y >= 0) & (o1y <= k - (h + 1)) &
+            ok = ((o1y >= 0) & (o1y <= nyk - (h + 1)) &
                   (o1x >= 0) & (o1x <= k - (w + 1)))
             sp1_flat = sp1.reshape(b * nr, cw)
 
@@ -115,7 +118,7 @@ def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
             p1w, o1_cols = _carry_p1_select(
                 cv, o1y, o1x, ok, active.reshape(n), refresh_rows,
                 extract_p1, o1_zero, n)
-        extract2 = lambda py0, px0: exf(sp2, py0, px0, k, k,
+        extract2 = lambda py0, px0: exf(sp2, py0, px0, nyk, k,
                                         k).reshape(n, L)
     else:
         inner = _ft.partial(lk_level_inner, want_residue=want_residue)
@@ -131,7 +134,8 @@ def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
     oob1_i = col(_window_oob(x1f, y1f, hw, hh, ncf, nrf).astype(jnp.int32))
 
     def anchors(x2c, y2c):
-        py0 = jnp.clip(y2c.astype(jnp.int32) - hhi - margin_y, 0, nr - k)
+        py0 = jnp.clip(y2c.astype(jnp.int32) - hhi - margin_y, 0,
+                       nr - nyk)
         px0 = jnp.clip(x2c.astype(jnp.int32) - hwi - margin_x, 0, nc - k)
         return py0, px0
 
@@ -171,7 +175,7 @@ def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
 
     def tail_extract(py0, px0, idx):
         return extract_flat(sp2_flat, py0 + (idx // f) * nr, px0,
-                            k, k, k)
+                            nyk, k, k)
 
     tail_compact = _tail_compact_enabled(n, use_v2)
     first = round_once(x2f0, y2f0, status0, iters0, done0,
