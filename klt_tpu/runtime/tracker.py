@@ -38,6 +38,13 @@ from .. import native
 _verbosity = 1
 
 
+def _exact_select_enabled() -> bool:
+    """Integer-exact host selection response (default on); KLT_TPU_EXACT_SELECT=0
+    falls back to the device response map."""
+    import os
+    return os.environ.get("KLT_TPU_EXACT_SELECT", "1") != "0"
+
+
 def set_verbosity(level: int) -> None:
     """reference: KLTSetVerbosity, src/V1/klt.c:524-528."""
     global _verbosity
@@ -149,6 +156,12 @@ class KLTracker:
             _, gx_pyr, gy_pyr = self._pyr_last
             response = self._response_from_maps_jit(gx_pyr[0], gy_pyr[0],
                                                     pallas_key())
+        elif _exact_select_enabled():
+            # Integer-exact host response: the (int) cast + sort make
+            # selection ulp-sensitive; the exact chain reproduces the
+            # reference's picks at any depth (see ops/exact_select.py).
+            from ..ops.exact_select import selection_response_exact
+            response = selection_response_exact(np.asarray(img), cfg)
         else:
             response = self._response_jit(jnp.asarray(img), pallas_key())
 

@@ -48,12 +48,51 @@ def test_selection_matches_oracle(provided_frames):
     tr.select_good_features(provided_frames[0], fl)
 
     ox, oy, ov = load_xyv("select_img0.xyv")
-    pos_match = (fl.x == ox) & (fl.y == oy)
-    # float rounding at the int-truncation boundary may swap an occasional
-    # tie pair; require near-perfect agreement.
-    assert pos_match.sum() >= 148, f"only {pos_match.sum()}/150 matched"
-    # responses of matching features agree within 1 count
-    assert np.all(np.abs(fl.val[pos_match] - ov[pos_match]) <= 1)
+    # integer-exact with the host-exact response path (default)
+    np.testing.assert_array_equal(fl.x, ox)
+    np.testing.assert_array_equal(fl.y, oy)
+    np.testing.assert_array_equal(fl.val, ov)
+
+
+def test_exact_conv_bit_matches_reference(provided_frames):
+    """The exact host chain reproduces the C-dumped smoothing/gradient
+    fixtures BIT-for-bit (not just within tolerance): same f32
+    accumulation order as src/V1/convolve.c:137-242."""
+    from klt_tpu.ops.exact_select import (smoothed_image_exact,
+                                          gradients_exact)
+    from conftest import load_f32
+    cfg = klt.TrackingConfig()
+    img = provided_frames[0].astype(np.float32)
+    sm = smoothed_image_exact(img, cfg.smooth_sigma)
+    np.testing.assert_array_equal(sm, load_f32("smoothed_img0.f32",
+                                               sm.shape))
+    gx, gy = gradients_exact(sm, cfg.grad_sigma)
+    np.testing.assert_array_equal(gx, load_f32("gradx_img0.f32", gx.shape))
+    np.testing.assert_array_equal(gy, load_f32("grady_img0.f32", gy.shape))
+
+
+def test_exact_select_laptops_seed_matches_reference_table():
+    """Regression for the round-3 laptops-affine parity failure: the
+    2000-deep selection on images_laptops img1 must equal the reference
+    run's frame-0 column exactly (the device response's reduction-order
+    ulps flipped (int) casts and reordered the sort at this depth)."""
+    import os
+    import pytest
+    from conftest import REF_DATA, fixture_path
+    from klt_tpu.io.features_io import read_feature_table
+    img_path = os.path.join(REF_DATA, "images_laptops", "img1.pgm")
+    if not os.path.exists(img_path):
+        pytest.skip("images_laptops dataset not available")
+    cfg = klt.TrackingConfig(sequential_mode=True,
+                             affine_consistency_check=2,
+                             n_pyramid_levels=4, subsampling=2)
+    tr = klt.KLTracker(cfg)
+    fl = klt.FeatureList.create(2000)
+    tr.select_good_features(klt.read_pgm(img_path), fl)
+    oracle = read_feature_table(fixture_path("table_laptops_2000aff.ft"))
+    np.testing.assert_array_equal(fl.x, oracle.x[:, 0])
+    np.testing.assert_array_equal(fl.y, oracle.y[:, 0])
+    np.testing.assert_array_equal(fl.val, oracle.val[:, 0])
 
 
 def test_replacement_keeps_live_features(provided_frames):
