@@ -274,6 +274,44 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
     else:
         resid_full = pa_x0 = pa_y0 = None
 
+    def make_exact_samplers():
+        """Full-image gather samplers replicating the reference's
+        _interpolate (src/V1/trackFeatures.c:31-57): truncating casts,
+        the exact 4-term f32 blend order, any in-image coordinate.
+        Used by the escape-repair pass for lanes whose warp/drift
+        leaves the resident patch (the reference keeps tracking them
+        against the full image; the resident fast path cannot)."""
+        flat_i = img2.reshape(-1)
+        flat_gx = gradx2.reshape(-1)
+        flat_gy = grady2.reshape(-1)
+
+        def samp(flat, xs, ys):
+            xt = jnp.clip(xs.astype(jnp.int32), 0, nc2 - 2)
+            yt = jnp.clip(ys.astype(jnp.int32), 0, nr2 - 2)
+            ax = xs - xt.astype(jnp.float32)
+            ay = ys - yt.astype(jnp.float32)
+            base = yt * nc2 + xt
+            p00 = jnp.take(flat, base)
+            p01 = jnp.take(flat, base + 1)
+            p10 = jnp.take(flat, base + nc2)
+            p11 = jnp.take(flat, base + nc2 + 1)
+            return (((1.0 - ax) * (1.0 - ay)) * p00 +
+                    (ax * (1.0 - ay)) * p01 +
+                    ((1.0 - ax) * ay) * p10 +
+                    (ax * ay) * p11)
+
+        def sample2_img(xs, ys):
+            return samp(flat_i, xs, ys)
+
+        def sample2_all(xs, ys):
+            return (samp(flat_i, xs, ys), samp(flat_gx, xs, ys),
+                    samp(flat_gy, xs, ys))
+
+        def no_oob(c):
+            return jnp.zeros_like(c, bool)
+
+        return sample2_img, sample2_all, no_oob, no_oob
+
     def make_samplers(resid, pax0, pay0):
         """Sampler + patch-bound closures over one lane-width's
         operands (full or compacted)."""
@@ -338,21 +376,28 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
         _, sample2_all, patch_oob_x, patch_oob_y = samplers
 
         def body(state):
-            x2, y2, axx, ayx, axy, ayy, status, done = state
+            x2, y2, axx, ayx, axy, ayy, status, done, esc = state
 
             if mode == 0:
-                oob = (src_oob |
-                       (x2 - hw < 0.0) | (nc2f - (x2 + hw) < _EPS) |
-                       (y2 - hh < 0.0) | (nr2f - (y2 + hh) < _EPS) |
-                       patch_oob_x(x2 - hw) | patch_oob_x(x2 + hw) |
-                       patch_oob_y(y2 - hh) | patch_oob_y(y2 + hh))
+                oob_ref = (src_oob |
+                           (x2 - hw < 0.0) | (nc2f - (x2 + hw) < _EPS) |
+                           (y2 - hh < 0.0) | (nr2f - (y2 + hh) < _EPS))
+                oob_pat = (patch_oob_x(x2 - hw) | patch_oob_x(x2 + hw) |
+                           patch_oob_y(y2 - hh) | patch_oob_y(y2 + hh))
             else:
                 cs = _corners(axx, ayx, axy, ayy, x2, y2, hw, hh)
-                oob = src_oob
+                oob_ref = src_oob
+                oob_pat = jnp.zeros_like(src_oob)
                 for k in range(0, 8, 2):
-                    oob = (oob | _coord_oob(cs[k], nc2f) |
-                           _coord_oob(cs[k + 1], nr2f) |
-                           patch_oob_x(cs[k]) | patch_oob_y(cs[k + 1]))
+                    oob_ref = (oob_ref | _coord_oob(cs[k], nc2f) |
+                               _coord_oob(cs[k + 1], nr2f))
+                    oob_pat = (oob_pat | patch_oob_x(cs[k]) |
+                               patch_oob_y(cs[k + 1]))
+            # a lane killed ONLY by the resident-patch margin is an
+            # artifact of the fast path — the reference (full-image
+            # sampling) keeps it; mark for the exact repair pass
+            esc = esc | (~done & oob_pat & ~oob_ref)
+            oob = oob_ref | oob_pat
             status = jnp.where(~done & oob, OOB, status)
             done = done | oob
 
@@ -429,7 +474,7 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
             x2 = x2 + jnp.where(~done & ~small, dx, 0.0)
             y2 = y2 + jnp.where(~done & ~small, dy, 0.0)
             done = done_after_small | (~done_after_small & conv)
-            return x2, y2, axx, ayx, axy, ayy, status, done
+            return x2, y2, axx, ayx, axy, ayy, status, done, esc
 
         return body
 
@@ -447,7 +492,8 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
         return jax.lax.while_loop(w_cond, w_body, (it0, state))
 
     status0 = jnp.full(x2_in.shape, TRACKED, jnp.int32)
-    st0 = (x2_in, y2_in, axx0, ayx0, axy0, ayy0, status0, ~active)
+    esc0 = jnp.zeros(x2_in.shape, bool)
+    st0 = (x2_in, y2_in, axx0, ayx0, axy0, ayy0, status0, ~active, esc0)
 
     samp_full = make_samplers(resid_full, pa_x0, pa_y0)
     body_full = make_body(samp_full, g1_full, gx1w_full, gy1w_full,
@@ -479,7 +525,7 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
         def compact_branch(st_in):
             stc = tuple(_gather_rows(a, idx) for a in st_in)
             pad_dead = jnp.arange(m_c, dtype=jnp.int32) >= cnt
-            stc = stc[:7] + (stc[7] | pad_dead,)
+            stc = stc[:7] + (stc[7] | pad_dead, stc[8])
             if have_res:
                 samp_c = make_samplers(_gather_rows(resid_full, idx),
                                        _gather_rows(pa_x0, idx),
@@ -503,25 +549,118 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
 
         st = jax.lax.cond(cnt <= m_c, compact_branch, full_branch, st1)
 
-    x2, y2, axx, ayx, axy, ayy, status, _ = st
+    def finalize(x2, y2, axx, ayx, axy, ayy, status, sample_img_fn, g1_f):
+        """Post-loop checks (src/V1/trackFeatures.c:1185-1208):
+        axis-aligned window OOB, the SIGNED drift kill, and the
+        final-residue test sampled with the converged warp."""
+        final_oob = ((x2 - hw < 0.0) | (nc2f - (x2 + hw) < _EPS) |
+                     (y2 - hh < 0.0) | (nr2f - (y2 + hh) < _EPS))
+        drift = ((x2 - x2_in) > mdd) | ((y2 - y2_in) > mdd)
+        status = jnp.where(final_oob | drift, OOB, status)
+        if mode == 0:
+            xs2 = x2[:, None] + dxo[None, :]
+            ys2 = y2[:, None] + dyo[None, :]
+            g2 = sample_img_fn(xs2, ys2)
+            pat_esc = (samp_oob_x(x2 - hw) | samp_oob_x(x2 + hw) |
+                       samp_oob_y(y2 - hh) | samp_oob_y(y2 + hh))
+        else:
+            wx, wy = warp_coords(axx, ayx, axy, ayy, x2, y2)
+            g2 = sample_img_fn(wx, wy)
+            # the reference does NOT re-check warped bounds before this
+            # sample; a resident-patch read here would be clamped where
+            # the reference reads real image data — flag for repair
+            pat_esc = jnp.zeros_like(final_oob)
+            cs = _corners(axx, ayx, axy, ayy, x2, y2, hw, hh)
+            for k in range(0, 8, 2):
+                pat_esc = (pat_esc | samp_oob_x(cs[k]) |
+                           samp_oob_y(cs[k + 1]))
+        residue = jnp.sum(jnp.abs(g1_f - g2), axis=1) / area
+        status = jnp.where((status == TRACKED) &
+                           (residue > np.float32(cfg.affine_max_residue)),
+                           LARGE_RESIDUE, status)
+        return status, pat_esc & (status == TRACKED)
 
-    # Post-loop checks (src/V1/trackFeatures.c:1185-1208).
-    final_oob = ((x2 - hw < 0.0) | (nc2f - (x2 + hw) < _EPS) |
-                 (y2 - hh < 0.0) | (nr2f - (y2 + hh) < _EPS))
-    drift = ((x2 - x2_in) > mdd) | ((y2 - y2_in) > mdd)  # signed, as in C
-    status = jnp.where(final_oob | drift, OOB, status)
+    samp_oob_x, samp_oob_y = samp_full[2], samp_full[3]
+    x2, y2, axx, ayx, axy, ayy, status, _, esc = st
+    status, esc_final = finalize(x2, y2, axx, ayx, axy, ayy, status,
+                                 sample2_img, g1)
+    esc = (esc | esc_final) & active
 
-    if mode == 0:
-        xs2 = x2[:, None] + dxo[None, :]
-        ys2 = y2[:, None] + dyo[None, :]
-        g2 = sample2_img(xs2, ys2)
-    else:
-        wx, wy = warp_coords(axx, ayx, axy, ayy, x2, y2)
-        g2 = sample2_img(wx, wy)
-    residue = jnp.sum(jnp.abs(g1 - g2), axis=1) / area
-    status = jnp.where((status == TRACKED) &
-                       (residue > np.float32(cfg.affine_max_residue)),
-                       LARGE_RESIDUE, status)
+    # Escape-repair pass: lanes whose warp/drift left the resident
+    # patch are re-tracked from scratch against the full image (exact
+    # reference semantics) and overwrite the fast-path result.  Runs
+    # only when an escape occurred (rare: a handful of lanes per frame
+    # at most), compacted to m_r lanes.
+    if have_res:
+        m_r = min(int(os.environ.get("KLT_TPU_AFFINE_REPAIR_M", "128")),
+                  -(-n_lanes // 128) * 128)
+
+        def repair(args):
+            x2_a, y2_a, axx_a, ayx_a, axy_a, ayy_a, status_a = args
+            cnt_e = jnp.sum(esc.astype(jnp.int32))
+            slots_e = jnp.cumsum(esc.astype(jnp.int32)) - 1
+            samp_e = make_exact_samplers()
+
+            def _run_exact_with_inputs(st_init, g1_e, gx1w_e, gy1w_e,
+                                       src_oob_e, x2i, y2i):
+                body_e = make_body(samp_e, g1_e, gx1w_e, gy1w_e,
+                                   src_oob_e)
+                _, stf = run_gn(body_e, jnp.int32(0), st_init, max_it)
+                x2e, y2e, axxe, ayxe, axye, ayye, ste = stf[:7]
+                final_oob = ((x2e - hw < 0.0) |
+                             (nc2f - (x2e + hw) < _EPS) |
+                             (y2e - hh < 0.0) |
+                             (nr2f - (y2e + hh) < _EPS))
+                dr = ((x2e - x2i) > mdd) | ((y2e - y2i) > mdd)
+                ste = jnp.where(final_oob | dr, OOB, ste)
+                if mode == 0:
+                    g2e = samp_e[0](x2e[:, None] + dxo[None, :],
+                                    y2e[:, None] + dyo[None, :])
+                else:
+                    wxe, wye = warp_coords(axxe, ayxe, axye, ayye,
+                                           x2e, y2e)
+                    g2e = samp_e[0](wxe, wye)
+                res_e = jnp.sum(jnp.abs(g1_e - g2e), axis=1) / area
+                ste = jnp.where(
+                    (ste == TRACKED) &
+                    (res_e > np.float32(cfg.affine_max_residue)),
+                    LARGE_RESIDUE, ste)
+                return x2e, y2e, axxe, ayxe, axye, ayye, ste
+
+            def compact_repair(_):
+                tgt_e = jnp.where(esc, slots_e, m_r)
+                idx_e = jnp.zeros((m_r,), jnp.int32).at[tgt_e].set(
+                    jnp.arange(n_lanes, dtype=jnp.int32), mode="drop")
+                pad_dead = jnp.arange(m_r, dtype=jnp.int32) >= cnt_e
+                st0_c = tuple(_gather_rows(a, idx_e) for a in st0)
+                st0_c = st0_c[:7] + (st0_c[7] | pad_dead, st0_c[8])
+                nonlocal_x2in = _gather_rows(x2_in, idx_e)
+                nonlocal_y2in = _gather_rows(y2_in, idx_e)
+                rs = _run_exact_with_inputs(
+                    st0_c, _gather_rows(g1_full, idx_e),
+                    _gather_rows(gx1w_full, idx_e),
+                    _gather_rows(gy1w_full, idx_e),
+                    _gather_rows(src_oob_full, idx_e),
+                    nonlocal_x2in, nonlocal_y2in)
+                sl = jnp.clip(slots_e, 0, m_r - 1)
+                return tuple(jnp.take(a, sl, axis=0) for a in rs)
+
+            def full_repair(_):
+                st0_f = st0[:7] + (st0[7] | ~esc, st0[8])
+                return _run_exact_with_inputs(
+                    st0_f, g1_full, gx1w_full, gy1w_full, src_oob_full,
+                    x2_in, y2_in)
+
+            rep = jax.lax.cond(cnt_e <= m_r, compact_repair,
+                               full_repair, 0)
+            return tuple(jnp.where(esc, r, a) for r, a in
+                         zip(rep, (x2_a, y2_a, axx_a, ayx_a, axy_a,
+                                   ayy_a, status_a)))
+
+        (x2, y2, axx, ayx, axy, ayy, status) = jax.lax.cond(
+            jnp.any(esc), repair, lambda a: a,
+            (x2, y2, axx, ayx, axy, ayy, status))
+
     status = jnp.where(active, status, TRACKED)
     return x2, y2, (axx, ayx, axy, ayy), status
 

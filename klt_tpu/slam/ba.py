@@ -356,9 +356,19 @@ def _total_cost(R, t, landmarks, prob: BAProblem):
     return jnp.sum(r * r)
 
 
+def _residual_norms(R, t, landmarks, prob: BAProblem):
+    """Per-observation UNWEIGHTED residual norms [M] (for IRLS)."""
+    ones = jnp.ones_like(prob.weight)
+    r, _, _ = _obs_blocks(R, t, landmarks, prob.cam_idx, prob.lm_idx,
+                          prob.uv, ones,
+                          prob.fx, prob.fy, prob.cx, prob.cy)
+    return jnp.sqrt(jnp.sum(r * r, axis=-1))
+
+
 def bundle_adjust(prob: BAProblem, mesh: Mesh | None = None,
                   iterations: int = 10, damping: float = 10.0,
-                  fix_first: bool = True):
+                  fix_first: bool = True,
+                  robust_delta: float | None = None):
     """Levenberg-Marquardt with adaptive damping.
 
     Each iteration computes one damped Schur step; the step is accepted
@@ -366,60 +376,78 @@ def bundle_adjust(prob: BAProblem, mesh: Mesh | None = None,
     and the step retried on the next iteration — classic LM, expressed
     as a fixed-trip scan with masked accept for XLA).
 
+    robust_delta (px): Huber IRLS — observations with residual norm n
+    beyond delta are down-weighted by delta/n each iteration, so
+    front-end outliers (drifted tracks that survived the residue test)
+    stop dominating the quadratic cost.  None = plain least squares.
+
     Returns (R, t, landmarks, costs [iterations]) — costs are the
-    accepted cost after each iteration.
+    accepted (weighted) cost after each iteration.
     """
     if mesh is not None:
         prob = prob.pad_observations(mesh.shape["data"])
     return _lm_drive(prob, mesh, iterations, damping,
-                     lambda R, t, lm, lam: _gn_step(
-                         R, t, lm, prob, mesh, lam, fix_first))
+                     lambda R, t, lm, lam, pw: _gn_step(
+                         R, t, lm, pw, mesh, lam, fix_first),
+                     robust_delta)
 
 
 def bundle_adjust_cg(prob: BAProblem, mesh: Mesh | None = None,
                      iterations: int = 10, damping: float = 10.0,
                      fix_first: bool = True, cg_iters: int = 250,
-                     cg_tol: float = 1e-5):
+                     cg_tol: float = 1e-5,
+                     robust_delta: float | None = None):
     """Levenberg-Marquardt with the matrix-free Schur/CG inner solver
     (_gn_step_cg) — the scalable path for hundreds of keyframes and
     tens of thousands of landmarks, observation-sharded over the mesh.
 
-    Same accept/reject semantics as `bundle_adjust`; prefer this
-    whenever n_pose * n_lm is too large to materialize W densely.
+    Same accept/reject semantics as `bundle_adjust` (incl. the Huber
+    IRLS option); prefer this whenever n_pose * n_lm is too large to
+    materialize W densely.
     """
     if mesh is not None:
         prob = prob.pad_observations(mesh.shape["data"])
     return _lm_drive(prob, mesh, iterations, damping,
-                     lambda R, t, lm, lam: _gn_step_cg(
-                         R, t, lm, prob, mesh, lam, fix_first,
-                         cg_iters, cg_tol))
+                     lambda R, t, lm, lam, pw: _gn_step_cg(
+                         R, t, lm, pw, mesh, lam, fix_first,
+                         cg_iters, cg_tol),
+                     robust_delta)
 
 
 def _lm_drive(prob: BAProblem, mesh: Mesh | None, iterations: int,
-              damping: float, gn_step):
+              damping: float, gn_step, robust_delta=None):
     # prob must already be padded to the mesh (callers do it before
-    # binding gn_step, which closes over the same padded prob)
+    # binding gn_step, which receives the reweighted problem per step)
 
     @jax.jit
     def run(R, t, lm):
-        c0 = _total_cost(R, t, lm, prob)
+        def weighted(R, t, lm):
+            if robust_delta is None:
+                return prob
+            # Huber IRLS: the multiplicative factor enters r and J, so
+            # sqrt(delta/n) yields the Huber weight in the normals
+            n = _residual_norms(R, t, lm, prob)
+            d = jnp.float32(robust_delta)
+            w = jnp.where(n <= d, 1.0, jnp.sqrt(d / jnp.maximum(n, d)))
+            return dataclasses.replace(prob, weight=prob.weight * w)
 
         def body(carry, _):
-            R, t, lm, lam, c_cur = carry
-            out = gn_step(R, t, lm, lam)
+            R, t, lm, lam = carry
+            pw = weighted(R, t, lm)
+            c_cur = _total_cost(R, t, lm, pw)
+            out = gn_step(R, t, lm, lam, pw)
             Rn, tn, lmn = out[0], out[1], out[2]
-            c_new = _total_cost(Rn, tn, lmn, prob)
+            c_new = _total_cost(Rn, tn, lmn, pw)
             ok = c_new < c_cur
             sel = lambda a, b: jnp.where(ok, a, b)
             R = jnp.where(ok, Rn, R)
             t = sel(tn, t)
             lm = sel(lmn, lm)
             lam = jnp.where(ok, jnp.maximum(lam * 0.5, 1e-6), lam * 4.0)
-            c_cur = sel(c_new, c_cur)
-            return (R, t, lm, lam, c_cur), c_cur
+            return (R, t, lm, lam), sel(c_new, c_cur)
 
-        (Rf, tf, lmf, _, _), costs = jax.lax.scan(
-            body, (R, t, lm, jnp.float32(damping), c0), None,
+        (Rf, tf, lmf, _), costs = jax.lax.scan(
+            body, (R, t, lm, jnp.float32(damping)), None,
             length=iterations)
         return Rf, tf, lmf, costs
 

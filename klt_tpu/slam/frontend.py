@@ -24,17 +24,12 @@ from .pose_graph import PoseGraph, optimize_pose_graph
 from .chains import ba_translation_prior
 
 
-@functools.lru_cache(maxsize=8)
-def _pair_runner(max_obs: int, fx: float, fy: float, cx: float,
-                 cy: float, iters: int):
-    """One compiled two-pose Levenberg-Marquardt solver reused for
-    every keyframe pair (bundle_adjust re-jits per call because its
-    driver closes over the problem arrays; pairs here all share one
-    padded shape, so a cached jit pays the compile once).  The LM
-    accept/reject is load-bearing: plain damped Gauss-Newton diverges
-    (NaN) on real pairs with near-degenerate shared geometry."""
+def _pair_core(fx, fy, cx, cy, iters):
+    """Two-pose Levenberg-Marquardt solve body (unjitted; see the
+    cached jit wrappers below).  The LM accept/reject is load-bearing:
+    plain damped Gauss-Newton diverges (NaN) on real pairs with
+    near-degenerate shared geometry."""
 
-    @jax.jit
     def run(t0, lm0, cam_idx, lm_idx, uv, weight):
         prob = BAProblem(
             R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
@@ -65,72 +60,104 @@ def _pair_runner(max_obs: int, fx: float, fy: float, cx: float,
     return run
 
 
-def _pair_problem(lm_idx, cam_idx, u, v, i, j, fx, fy, cx, cy,
-                  max_obs, t_prior):
-    """Two-pose BAProblem over tracks seen by BOTH keyframes i and j,
-    padded to max_obs observations / max_obs landmarks."""
-    on_i = set(lm_idx[cam_idx == i].tolist())
-    on_j = set(lm_idx[cam_idx == j].tolist())
-    shared = np.asarray(sorted(on_i & on_j), np.int64)
-    sel = np.isin(lm_idx, shared) & np.isin(cam_idx, [i, j])
-    li, ci, uu, vv = lm_idx[sel], cam_idx[sel], u[sel], v[sel]
-    remap = {int(t): k for k, t in enumerate(shared)}
-    li = np.asarray([remap[int(t)] for t in li], np.int32)
-    ci = (ci == j).astype(np.int32)
-    n_lm = len(shared)
+@functools.lru_cache(maxsize=8)
+def _pair_runner(max_obs: int, fx: float, fy: float, cx: float,
+                 cy: float, iters: int):
+    """One compiled two-pose LM solver reused for every keyframe pair
+    (pairs all share one padded shape, so a cached jit pays the compile
+    once)."""
+    return jax.jit(_pair_core(fx, fy, cx, cy, iters))
 
-    m = len(li)
-    if m > max_obs:
-        # max_obs is sized over every pair actually solved, so this is
-        # a defensive path only; drop WHOLE landmarks (highest ids
-        # first) so no observation pair is orphaned
-        counts = np.bincount(li, minlength=n_lm)
-        keep_lm = n_lm
-        while keep_lm > 0 and counts[:keep_lm].sum() > max_obs:
-            keep_lm -= 1
-        keep = li < keep_lm
-        li, ci, uu, vv = li[keep], ci[keep], uu[keep], vv[keep]
-        n_lm, m = keep_lm, int(keep.sum())
-    pad = max_obs - m
+
+@functools.lru_cache(maxsize=8)
+def _pair_runner_batched(max_obs: int, fx: float, fy: float, cx: float,
+                         cy: float, iters: int):
+    """All keyframe pairs solved in ONE dispatch: the two-pose LM body
+    vmapped over a [n_pairs, max_obs] batch.  Replaces the per-pair
+    dispatch loop that dominated pose-graph build time (the solves are
+    independent; batching them saturates the chip instead of paying
+    ~n_pairs dispatch+transfer round trips)."""
+    return jax.jit(jax.vmap(_pair_core(fx, fy, cx, cy, iters)))
+
+
+def _per_cam_sorted(lm_idx, cam_idx, u, v, n_pose):
+    """Per-camera (landmark-sorted) observation slices.  One O(M log M)
+    sort instead of per-pair O(M) scans over the full observation list."""
+    order = np.argsort(cam_idx, kind="stable")
+    cams, lms = cam_idx[order], lm_idx[order]
+    us, vs = np.asarray(u)[order], np.asarray(v)[order]
+    starts = np.searchsorted(cams, np.arange(n_pose))
+    ends = np.searchsorted(cams, np.arange(n_pose) + 1)
+    out = []
+    for i in range(n_pose):
+        sl = slice(int(starts[i]), int(ends[i]))
+        li = lms[sl]
+        o = np.argsort(li, kind="stable")
+        out.append((li[o], us[sl][o], vs[sl][o]))
+    return out
+
+
+def _pair_arrays(per_cam, i, j, fx, fy, cx, cy, max_obs, t_prior):
+    """Padded two-pose problem arrays over tracks seen by BOTH
+    keyframes i and j (vectorised: intersect + searchsorted remap; a
+    landmark appears at most once per camera).  Returns
+    (t0, lm0, cam_idx, lm_idx, uv, weight, n_lm) as numpy arrays."""
+    li_, ui_, vi_ = per_cam[i]
+    lj_, uj_, vj_ = per_cam[j]
+    shared = np.intersect1d(li_, lj_, assume_unique=True)
+    n_lm = len(shared)
+    mi = np.isin(li_, shared, assume_unique=True)
+    mj = np.isin(lj_, shared, assume_unique=True)
+    li_s = np.searchsorted(shared, li_[mi]).astype(np.int32)
+    lj_s = np.searchsorted(shared, lj_[mj]).astype(np.int32)
+    m = len(li_s) + len(lj_s)
+    if n_lm and m > max_obs:
+        # defensive only (max_obs is sized over every pair solved):
+        # drop whole landmarks from the top so no pair is orphaned
+        keep_lm = min(n_lm, max_obs // 2)
+        li_keep, lj_keep = li_s < keep_lm, lj_s < keep_lm
+        mi[mi] = li_keep
+        mj[mj] = lj_keep
+        li_s, lj_s = li_s[li_keep], lj_s[lj_keep]
+        n_lm = keep_lm
+        m = len(li_s) + len(lj_s)
 
     lm0 = np.zeros((max_obs, 3), np.float32)
-    first = {}
-    for k in range(len(li)):
-        if ci[k] == 0 and int(li[k]) not in first:
-            first[int(li[k])] = k
-    for lid, k in first.items():
-        lm0[lid] = [(uu[k] - cx) / fx, (vv[k] - cy) / fy, 1.0]
+    lm0[li_s, 0] = (ui_[mi] - cx) / fx
+    lm0[li_s, 1] = (vi_[mi] - cy) / fy
+    lm0[li_s, 2] = 1.0
     lm0[n_lm:, 2] = 1.0
-
-    z = lambda a, val: np.concatenate(
-        [a, np.full(pad, val, a.dtype)])
+    pad = max_obs - m
+    cam = np.concatenate([np.zeros(len(li_s), np.int32),
+                          np.ones(len(lj_s), np.int32),
+                          np.zeros(pad, np.int32)])
+    lm = np.concatenate([li_s, lj_s, np.zeros(pad, np.int32)])
+    uu = np.concatenate([ui_[mi], uj_[mj],
+                         np.zeros(pad, np.float32)]).astype(np.float32)
+    vv = np.concatenate([vi_[mi], vj_[mj],
+                         np.zeros(pad, np.float32)]).astype(np.float32)
     weight = np.concatenate([np.ones(m, np.float32),
                              np.zeros(pad, np.float32)])
     t0 = np.zeros((2, 3), np.float32)
     t0[1] = t_prior[j] - t_prior[i]
-    return BAProblem(
-        R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
-                           (2, 3, 3)).copy(),
-        t=jnp.asarray(t0),
-        landmarks=jnp.asarray(lm0),
-        cam_idx=jnp.asarray(z(li * 0 + ci, 0)),
-        lm_idx=jnp.asarray(z(li, 0)),
-        uv=jnp.asarray(np.stack(
-            [z(uu.astype(np.float32), 0.0),
-             z(vv.astype(np.float32), 0.0)], -1)),
-        weight=jnp.asarray(weight), fx=fx, fy=fy, cx=cx, cy=cy), n_lm
+    return (t0, lm0, cam, lm, np.stack([uu, vv], -1), weight, n_lm)
 
 
 def build_keyframe_pose_graph(lm_idx, cam_idx, u, v, n_pose,
                               fx, fy, cx, cy, pair_iters: int = 8):
     """Construct the keyframe SE(3) pose graph (without optimizing it):
-    tiny two-pose BA per chain/skip keyframe pair (one compiled
-    program, shapes padded to the largest pair) -> relative-pose edges,
-    chained-integration absolute poses as the initial estimate.
-    Returns a PoseGraph ready for optimize_pose_graph."""
+    tiny two-pose BA per chain/skip keyframe pair — assembled
+    vectorised on the host, solved as ONE batched vmapped dispatch —
+    -> relative-pose edges, chained-integration absolute poses as the
+    initial estimate.  Returns a PoseGraph ready for
+    optimize_pose_graph."""
+    lm_idx = np.asarray(lm_idx)
+    cam_idx = np.asarray(cam_idx)
+    u, v = np.asarray(u), np.asarray(v)
     t_prior = ba_translation_prior(
         lm_idx, cam_idx, u, v,
         _first_obs(lm_idx), n_pose, fx, fy)
+    per_cam = _per_cam_sorted(lm_idx, cam_idx, u, v, n_pose)
 
     # chain edges (i, i+1) plus redundant skip edges (i, i+2) so the
     # pose graph has over-determination to optimize, not a bare chain
@@ -141,33 +168,43 @@ def build_keyframe_pose_graph(lm_idx, cam_idx, u, v, n_pose,
     # by the shared-landmark observation count of EVERY pair solved
     # (skip edges included — they can share more than chain edges)
     def shared_obs(i, j):
-        on_i = set(lm_idx[cam_idx == i].tolist())
-        on_j = set(lm_idx[cam_idx == j].tolist())
-        shared = np.asarray(sorted(on_i & on_j), np.int64)
-        return int((np.isin(lm_idx, shared) &
-                    np.isin(cam_idx, [i, j])).sum())
+        return 2 * len(np.intersect1d(per_cam[i][0], per_cam[j][0],
+                                      assume_unique=True))
 
     max_obs = max([shared_obs(i, j) for i, j in pairs] + [1])
     max_obs = max(8, int(2 ** np.ceil(np.log2(max_obs))))
 
-    Rz, tz, ei, ej = [], [], [], []
+    # assemble every solvable pair, then solve them all in one batch
+    solve_pairs, weak_chain = [], []
     for i, j in pairs:
-        prob, n_lm = _pair_problem(lm_idx, cam_idx, u, v, i, j,
-                                   fx, fy, cx, cy, max_obs, t_prior)
-        if n_lm < 8:
-            if j != i + 1:
-                continue  # drop weak skip edges entirely
-            Rz.append(np.eye(3, dtype=np.float32))
-            tz.append((t_prior[j] - t_prior[i]).astype(np.float32))
-        else:
-            run = _pair_runner(max_obs, fx, fy, cx, cy, pair_iters)
-            R, t = run(prob.t, prob.landmarks, prob.cam_idx,
-                       prob.lm_idx, prob.uv, prob.weight)
-            R, t = np.asarray(R), np.asarray(t)
+        arrs = _pair_arrays(per_cam, i, j, fx, fy, cx, cy, max_obs,
+                            t_prior)
+        if arrs[-1] < 8:
+            if j == i + 1:
+                weak_chain.append((i, j))  # identity/prior edge
+            continue  # drop weak skip edges entirely
+        solve_pairs.append(((i, j), arrs[:-1]))
+
+    edges = {}
+    if solve_pairs:
+        batch = [np.stack([a[k] for _, a in solve_pairs])
+                 for k in range(6)]
+        run = _pair_runner_batched(max_obs, fx, fy, cx, cy, pair_iters)
+        Rb, tb = (np.asarray(o) for o in run(*batch))
+        for k, ((i, j), _) in enumerate(solve_pairs):
             # Z_ij at the solved pair: (R_i R_j^T, t_i - R_i R_j^T t_j)
-            Rrel = R[0] @ R[1].T
-            Rz.append(Rrel.astype(np.float32))
-            tz.append((t[0] - Rrel @ t[1]).astype(np.float32))
+            Rrel = Rb[k, 0] @ Rb[k, 1].T
+            edges[(i, j)] = (Rrel.astype(np.float32),
+                             (tb[k, 0] - Rrel @ tb[k, 1]).astype(
+                                 np.float32))
+    for i, j in weak_chain:
+        edges[(i, j)] = (np.eye(3, dtype=np.float32),
+                         (t_prior[j] - t_prior[i]).astype(np.float32))
+
+    Rz, tz, ei, ej = [], [], [], []
+    for (i, j), (Rr, tr) in sorted(edges.items()):
+        Rz.append(Rr)
+        tz.append(tr)
         ei.append(i)
         ej.append(j)
 
@@ -210,6 +247,6 @@ def keyframe_pose_graph_init(lm_idx, cam_idx, u, v, n_pose,
 def _first_obs(lm_idx):
     n_lm = int(lm_idx.max()) + 1 if len(lm_idx) else 0
     first = np.full(n_lm, -1, np.int64)
-    for m in range(len(lm_idx) - 1, -1, -1):
-        first[lm_idx[m]] = m
+    ids, idx = np.unique(lm_idx, return_index=True)
+    first[ids] = idx
     return first
