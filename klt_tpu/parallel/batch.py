@@ -81,3 +81,23 @@ def track_batch(frames, x, y, val, cfg: TrackingConfig,
         y = jax.device_put(y, feat_s)
         val = jax.device_put(val, feat_s)
     return track_sequences_batched(frames, x, y, val, cfg)
+
+
+def pad_features_for_mesh(x, y, val, multiple: int):
+    """Pad the feature axis to a multiple of the mesh's feat-axis size.
+
+    XLA shardings require even splits; padded lanes carry val=-1 (dead),
+    which every tracking op masks out, so results on the first n lanes
+    are unchanged.  Returns (x, y, val, n_orig) — slice outputs back
+    with [..., :n_orig].
+    """
+    import numpy as _np
+    n = x.shape[-1]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x, y, val, n
+    widths = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+    xp = _np.pad(_np.asarray(x), widths, constant_values=0.0)
+    yp = _np.pad(_np.asarray(y), widths, constant_values=0.0)
+    vp = _np.pad(_np.asarray(val), widths, constant_values=-1)
+    return xp, yp, vp, n
