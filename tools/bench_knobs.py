@@ -75,7 +75,8 @@ def main():
                                          jnp.zeros_like(x))
 
             r = timed_run(fb, x, y, v)
-            jax.block_until_ready(r)
+            np.asarray(r)  # drain: axon's async compile queue makes
+            # block_until_ready a no-op until the first D2H copy
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -95,8 +96,8 @@ def main():
             agg = b * n_pairs / best
             tag = " ".join(f"{k_}={v_}" for k_, v_ in env.items()) \
                 or "baseline"
-            print(f"{tag:40s} {best*1e6:9.0f} us/step "
-                  f"{agg:8.1f} fps  bit_exact={exact}", flush=True)
+            print(f"{tag:40s} {best*1e3/n_pairs:7.3f} ms/step "
+                  f"{agg:8.1f} agg_fps  bit_exact={exact}", flush=True)
             return agg
         finally:
             for k_, s in saved.items():
