@@ -251,9 +251,10 @@ def bench_flagship_batched(jax, jnp, klt, out):
     # iteration-cap probe at the winning (B, precomp) point: bit-exact
     # (forced stalls drain through the compacted tail; lane-0 goldens
     # above hold for any cap), keyed via pallas_key so the toggle
-    # retraces.  KLT_TPU_BENCH_CAP narrows/disables the probe.
+    # retraces.  KLT_TPU_BENCH_CAP enables the probe (default off:
+    # round-4 A/B measured every cap as a loser — tools/bench_knobs.py).
     csweep = tuple(int(s) for s in os.environ.get(
-        "KLT_TPU_BENCH_CAP", "5").split(",") if s)
+        "KLT_TPU_BENCH_CAP", "").split(",") if s)
     if csweep and best_entry is not None:
         b = best_entry["batch"]
         cap_saved = os.environ.get("KLT_TPU_ITER_CAP")

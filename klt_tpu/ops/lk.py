@@ -212,8 +212,10 @@ def _p2_rows(k: int, h: int) -> int:
     kernel's y re-anchor bound tightens to nyk-(h+1) — extraction row
     MACs and band bytes scale by nyk/k, while lanes that move past the
     shorter margin stall into the (compacted) tail rounds bit-exactly.
-    Measured on-chip: 12 rows won at the flagship batched config
-    (see PARITY.md round-3 table)."""
+    MEASURED LOSER (round 4, tools/bench_knobs.py, B=16 flagship with
+    drained warmups): rows 10/12/14 -> 6049/5280/5881 agg fps vs 6989
+    baseline — the extra re-anchor rounds cost more than the narrower
+    extraction saves.  Default off; kept reproducible."""
     import os
     v = int(os.environ.get("KLT_TPU_P2_ROWS", "0"))
     if v <= 0:
@@ -272,13 +274,18 @@ def _tail_compact_enabled(n: int, use_v2: bool) -> bool:
 def _first_round_iter_cap(tail_compact: bool) -> int:
     """KLT_TPU_ITER_CAP=J caps the FIRST (full-width) kernel launch at
     J Newton iterations per level; not-done lanes exit like a stall
-    and finish in the 128-wide compacted tail.  The measured iteration
-    distribution is long-tailed (flagship: mean ~2-3, p99 ~5, max 10),
-    so the full-width launch otherwise runs max-lane iterations for
-    every lane.  Bit-exact (same invariant as re-anchor stalls); only
-    engaged when the compacted tail is on — without it a forced stall
-    costs a full-width round.  Default off pending on-chip A/B."""
+    and finish in the 128-wide compacted tail.  Bit-exact (same
+    invariant as re-anchor stalls); only engaged when the compacted
+    tail is on.  MEASURED LOSER (round 4, tools/bench_knobs.py, B=16
+    flagship): caps 1/2/3/5 -> 5054/5041/6306/6944 agg fps vs 6989
+    baseline — the extra tail dispatches cost more than the shortened
+    full-width launch saves.  Default off; kept reproducible.
+    Combining with KLT_TPU_P2_ROWS is refused: the cap's forced stall
+    interacts with the short canvas's tightened re-anchor bound
+    (measured bit-exactness break at cap=1, rows=10)."""
     import os
+    if int(os.environ.get("KLT_TPU_P2_ROWS", "0")) > 0:
+        return 0
     cap = int(os.environ.get("KLT_TPU_ITER_CAP", "0"))
     return cap if tail_compact else 0
 

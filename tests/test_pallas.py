@@ -230,6 +230,13 @@ def test_iter_cap_gating(monkeypatch):
     assert _first_round_iter_cap(False) == 0
     monkeypatch.delenv("KLT_TPU_ITER_CAP", raising=False)
     assert _first_round_iter_cap(True) == 0
+    # cap + short canvas is a refused combination (r4: measured
+    # bit-exactness interaction at cap=1, rows=10)
+    monkeypatch.setenv("KLT_TPU_ITER_CAP", "5")
+    monkeypatch.setenv("KLT_TPU_P2_ROWS", "10")
+    assert _first_round_iter_cap(True) == 0
+    monkeypatch.delenv("KLT_TPU_P2_ROWS", raising=False)
+    monkeypatch.delenv("KLT_TPU_ITER_CAP", raising=False)
     # tail compaction needs the v2 kernel and enough lanes
     assert not _tail_compact_enabled(150, True)
     assert _tail_compact_enabled(512, True)

@@ -110,6 +110,8 @@ def main():
           f"tiled={os.environ.get('KLT_TPU_EXTRACT_TILED', '0')}",
           flush=True)
     measure({})
+    if "--baseline-only" in sys.argv:
+        return
     for cap in (1, 2, 3, 5):
         measure({"KLT_TPU_ITER_CAP": cap})
     for rows in (10, 12, 14):
