@@ -498,7 +498,7 @@ def bench_batched_3x4096(jax, jnp, klt, out):
 
     def _best_time(fn, *args):
         r = fn(*args)
-        jax.block_until_ready(r)
+        _drain(jax, r)
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -620,7 +620,7 @@ def bench_slam_e2e(jax, jnp, klt, out):
     xs, ys, vs = track_sequence_replace(
         fd, jnp.asarray(fl.x), jnp.asarray(fl.y), jnp.asarray(fl.val),
         cfg)
-    jax.block_until_ready(vs)
+    _drain(jax, vs)
     fe_compile_and_run = time.perf_counter() - t0
     t0 = time.perf_counter()
     xs, ys, vs = track_sequence_replace(
@@ -667,7 +667,7 @@ def bench_slam_e2e(jax, jnp, klt, out):
     pg_build_s = time.perf_counter() - t_pg0
     t0 = time.perf_counter()
     R_init, t_init, pg_costs = optimize_pose_graph(pg, iterations=10)
-    jax.block_until_ready(pg_costs)
+    _drain(jax, pg_costs)
     pg_compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     R_init, t_init, pg_costs = optimize_pose_graph(pg, iterations=10)
@@ -703,7 +703,7 @@ def bench_slam_e2e(jax, jnp, klt, out):
     t0 = time.perf_counter()
     R, t, lm, costs = bundle_adjust_cg(prob, iterations=50,
                                        robust_delta=2.0)
-    jax.block_until_ready(costs)
+    _drain(jax, costs)
     ba_compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     R, t, lm, costs = bundle_adjust_cg(prob, iterations=50,

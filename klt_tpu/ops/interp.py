@@ -171,6 +171,26 @@ _ROWS_MIN_F = 512  # feature count from which the exact-row (unblocked)
 #                    extraction formulation wins (tools/bench_extract2)
 
 
+def _extract_mm():
+    """(matmul precision, band dtype) for the hot-path extraction.
+
+    KLT_TPU_EXTRACT_PREC (trace-time, keyed via pallas_key):
+      'high' (default) — bf16x3 one-hot matmuls, f32 band: selection
+        exact to the data's low mantissa bits;
+      'bf16' — single-pass MXU + bf16 band materialization.  The
+        extraction is HBM/materialization-bound (roofline r3: 112% of
+        the byte model), so halving the band bytes attacks the actual
+        wall; cost is ONE bf16 rounding of the image data (~2^-9
+        relative = +-0.25 intensity on 0..255 frames).  Accuracy gated
+        by the bench's lane0 golden-parity fields before any default
+        flip.
+    """
+    import os
+    if os.environ.get("KLT_TPU_EXTRACT_PREC", "high") == "bf16":
+        return jax.lax.Precision.DEFAULT, jnp.bfloat16
+    return jax.lax.Precision.HIGH, jnp.float32
+
+
 def onehot_extract_packed(stack: jax.Array, y0: jax.Array, x0: jax.Array,
                           ny: int, nx: int) -> jax.Array:
     """Integer-aligned patch extraction in the channel-block lane
@@ -367,7 +387,7 @@ def extract_flat_blocked(stack_packed: jax.Array, y0: jax.Array,
     realign), callable directly so tools/bench_extract2.py can A/B it
     against the rows formulation above the _ROWS_MIN_F dispatch
     threshold (extract_flat itself self-dispatches)."""
-    prec = jax.lax.Precision.HIGH
+    prec, _ = _extract_mm()
     h, cw = stack_packed.shape
     w_img = cw // c
     f = y0.shape[0]
@@ -404,7 +424,7 @@ def extract_flat_rows(stack_packed: jax.Array, y0: jax.Array,
     the row-stage MACs but at MXU-friendly contraction H, removes the
     realign entirely, and shrinks the band by nblk*8/ny.  Bit-identical
     to extract_flat (one-hot selection at the same precision)."""
-    prec = jax.lax.Precision.HIGH
+    prec, band_dt = _extract_mm()
     h, cw = stack_packed.shape
     w_img = cw // c
     f = y0.shape[0]
@@ -413,7 +433,7 @@ def extract_flat_rows(stack_packed: jax.Array, y0: jax.Array,
     hi = jnp.arange(h, dtype=jnp.int32)
     row_oh = (rows[:, None] == hi[None, :]).astype(jnp.float32)
     band = jnp.dot(row_oh, stack_packed, precision=prec,
-                   preferred_element_type=jnp.float32)  # [F*ny, C*W]
+                   preferred_element_type=band_dt)  # [F*ny, C*W]
     band = band.reshape(f, ny, cw)
 
     j = jnp.arange(c * k, dtype=jnp.int32)
@@ -456,7 +476,7 @@ def extract_flat_tiled(stack_packed: jax.Array, y0: jax.Array,
     Bit-identical to extract_flat_rows: the tiled image holds the same
     values, selection is 0/1 at the same precision.
     """
-    prec = jax.lax.Precision.HIGH
+    prec, band_dt = _extract_mm()
     if st is None:
         st = _TILE_STRIDE
     h, cw = stack_packed.shape
@@ -484,7 +504,7 @@ def extract_flat_tiled(stack_packed: jax.Array, y0: jax.Array,
     hi = jnp.arange(nt * h, dtype=jnp.int32)
     row_oh = (rows[:, None] == hi[None, :]).astype(jnp.float32)
     band = jnp.dot(row_oh, img_t, precision=prec,
-                   preferred_element_type=jnp.float32)  # [F*ny, C*tw]
+                   preferred_element_type=band_dt)  # [F*ny, C*tw]
     band = band.reshape(f, ny, c * tw)
 
     j = jnp.arange(c * k, dtype=jnp.int32)

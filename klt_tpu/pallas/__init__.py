@@ -41,6 +41,7 @@ _TRACE_KNOBS = (
     ("KLT_TPU_ITER_CAP", "0"),
     ("KLT_TPU_CARRY_REFRESH", "1"),
     ("KLT_TPU_P2_ROWS", "0"),
+    ("KLT_TPU_EXTRACT_PREC", "high"),
 )
 
 

@@ -9,9 +9,14 @@ KLTTrackFeatures / KLTReplaceLostFeatures, src/V1/klt.h:150-169):
 * sequential mode keeps the previous frame's pyramids device-resident
   between calls — the V3 lesson (src/V3/trackFeaturesGPU.cu:481-484):
   never round-trip frames through the host;
-* selection computes the corner-response map on device and hands the
-  candidate list to the native host runtime for the tie-exact sort and
-  greedy suppression (mirroring the reference's CPU-side selection).
+* selection computes the corner-response map with the integer-exact
+  host chain (ops/exact_select.py — the (int)-cast sort makes selection
+  ulp-sensitive, see that module; KLT_TPU_EXACT_SELECT=0 reverts to the
+  device response) and hands the candidate list to the native host
+  runtime for the tie-exact sort and greedy suppression (mirroring the
+  reference's CPU-side selection); sequential-mode replacement keeps
+  the device response from the cached tracking gradients, as the
+  reference reuses tc->pyramid_last (src/V1/selectGoodFeatures.c:342).
 """
 
 from __future__ import annotations

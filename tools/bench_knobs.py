@@ -93,11 +93,22 @@ def main():
             else:
                 exact = all(np.array_equal(a, o)
                             for a, o in zip(ref_out, out))
+            # lane-0 accuracy vs the baseline run (for knobs that are
+            # intentionally NOT bit-exact, e.g. EXTRACT_PREC=bf16)
+            acc = ""
+            if not exact and ref_out is not None:
+                sag = float((out[2][:, 0] == ref_out[2][:, 0]).mean())
+                both = (out[2][:, 0] >= 0) & (ref_out[2][:, 0] >= 0)
+                d = np.hypot(out[0][:, 0] - ref_out[0][:, 0],
+                             out[1][:, 0] - ref_out[1][:, 0])[both]
+                acc = (f" status_agree={sag:.4f} "
+                       f"maxd={float(d.max()) if d.size else 0:.2e}px")
             agg = b * n_pairs / best
             tag = " ".join(f"{k_}={v_}" for k_, v_ in env.items()) \
                 or "baseline"
             print(f"{tag:40s} {best*1e3/n_pairs:7.3f} ms/step "
-                  f"{agg:8.1f} agg_fps  bit_exact={exact}", flush=True)
+                  f"{agg:8.1f} agg_fps  bit_exact={exact}{acc}",
+                  flush=True)
             return agg
         finally:
             for k_, s in saved.items():
@@ -110,8 +121,12 @@ def main():
           f"tiled={os.environ.get('KLT_TPU_EXTRACT_TILED', '0')}",
           flush=True)
     measure({})
+    if "--prec-only" in sys.argv:
+        measure({"KLT_TPU_EXTRACT_PREC": "bf16"})
+        return
     if "--baseline-only" in sys.argv:
         return
+    measure({"KLT_TPU_EXTRACT_PREC": "bf16"})
     for cap in (1, 2, 3, 5):
         measure({"KLT_TPU_ITER_CAP": cap})
     for rows in (10, 12, 14):
