@@ -302,6 +302,84 @@ def bench_flagship_batched(jax, jnp, klt, out):
             os.environ.pop("KLT_TPU_ITER_CAP", None)
         else:
             os.environ["KLT_TPU_ITER_CAP"] = cap_saved
+
+    # extraction-precision probe at the winning (B, precomp) point
+    # (KLT_TPU_BENCH_PREC, default bf16): single-pass one-hot matmuls
+    # + bf16 band materialization attack the measured extraction wall
+    # (HBM bytes).  NOT bit-exact — each probe entry carries its OWN
+    # lane-0 golden-parity fields, and it becomes the headline only
+    # within the accuracy contract (status agreement 1.0, drift <=
+    # 0.5 px vs the CPU golden table).
+    prsweep = tuple(s for s in os.environ.get(
+        "KLT_TPU_BENCH_PREC", "bf16").split(",") if s)
+    if prsweep and best_entry is not None:
+        b = best_entry["batch"]
+        prec_saved = os.environ.get("KLT_TPU_EXTRACT_PREC")
+        os.environ["KLT_TPU_PRECOMP_PYR"] = (
+            "1" if best_entry.get("precomp_pyramids") else "0")
+        fb = jnp.asarray(np.broadcast_to(
+            frames, (b,) + frames.shape).copy())
+        x = jnp.asarray(np.broadcast_to(fl.x, (b, 150)).copy())
+        y = jnp.asarray(np.broadcast_to(fl.y, (b, 150)).copy())
+        v = jnp.asarray(np.broadcast_to(fl.val, (b, 150)).copy())
+        reps = int(os.environ.get("KLT_TPU_BENCH_REPS", "10"))
+        golden = "/root/reference/src/V1/feat/features2.ft"
+        for prec in prsweep:
+            os.environ["KLT_TPU_EXTRACT_PREC"] = prec
+
+            @jax.jit
+            def timed_run_p(fb, x, y, v):
+                def body(i, acc):
+                    xs, ys, vs = track_sequences_batched(
+                        fb, x + 1e-4 * i.astype(jnp.float32), y, v,
+                        cfg)
+                    return acc + xs[-1]
+                return jax.lax.fori_loop(0, reps, body,
+                                         jnp.zeros_like(x))
+
+            r = timed_run_p(fb, x, y, v)
+            _drain(jax, r)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                r = timed_run_p(fb, x, y, v)
+                jax.block_until_ready(r)
+                best = min(best, (time.perf_counter() - t0) / reps)
+            agg = b * n_pairs / best
+            entry = dict(best_entry)
+            entry.update({
+                "extract_prec": prec,
+                "aggregate_frames_per_s": round(agg, 1),
+                "vs_baseline_fps": round(agg / CPU_BASELINE_FPS, 1),
+                "tracked_features_per_s": round(agg * 150, 0),
+            })
+            rt = track_sequences_batched(fb, x, y, v, cfg)
+            xs0 = np.asarray(rt[0][:, 0])
+            ys0 = np.asarray(rt[1][:, 0])
+            vs0 = np.asarray(rt[2][:, 0])
+            ok = True
+            if os.path.exists(golden):
+                oracle = read_feature_table(golden)
+                dmax, agree, total = 0.0, 0, 0
+                for t in range(n_pairs):
+                    ov = oracle.val[:, t]
+                    agree += int((vs0[t] == ov).sum())
+                    total += len(ov)
+                    both = (vs0[t] >= 0) & (ov >= 0)
+                    if both.any():
+                        d = np.hypot(xs0[t] - oracle.x[:, t],
+                                     ys0[t] - oracle.y[:, t])[both]
+                        dmax = max(dmax, float(d.max()))
+                entry["lane0_drift_px_vs_cpu_golden"] = dmax
+                entry["lane0_status_agreement"] = agree / total
+                ok = (agree == total) and dmax <= 0.5
+            out[f"flagship_batched_b{b}_{prec}"] = entry
+            if ok and (agg > best_entry["aggregate_frames_per_s"]):
+                best_entry = entry
+        if prec_saved is None:
+            os.environ.pop("KLT_TPU_EXTRACT_PREC", None)
+        else:
+            os.environ["KLT_TPU_EXTRACT_PREC"] = prec_saved
         if pre_saved is None:
             os.environ.pop("KLT_TPU_PRECOMP_PYR", None)
         else:
