@@ -612,6 +612,46 @@ def bench_batched_3x4096(jax, jnp, klt, out):
             }
     out["batched_3seq_4096feat"] = entry
 
+    # bf16-band extraction point (the config is extraction-bound; r4
+    # A/B: +50% — tools/bench_4096.py).  Accuracy vs the exact run is
+    # reported alongside (no reference oracle exists at 4096 feat:
+    # the reference caps selection well below that on these scenes).
+    prec_saved = os.environ.get("KLT_TPU_EXTRACT_PREC")
+    os.environ["KLT_TPU_EXTRACT_PREC"] = "bf16"
+    os.environ["KLT_TPU_PRECOMP_PYR"] = (
+        "1" if entry and entry.get("precomp_pyramids") else "0")
+    try:
+        @jax.jit
+        def timed_run_bf(fd, x, y, v):
+            def body(i, acc):
+                xs, ys, vs = track_sequences_batched(
+                    fd, x + 1e-4 * i.astype(jnp.float32), y, v, cfg)
+                return acc + xs[-1]
+            return jax.lax.fori_loop(0, reps, body, jnp.zeros_like(x))
+
+        dt, _ = _best_time(timed_run_bf, fd, x, y, v)
+        agg = 3 * (t_frames - 1) / dt
+        rb = track_sequences_batched(fd, x, y, v, cfg)
+        os.environ["KLT_TPU_EXTRACT_PREC"] = "high"
+        rh = track_sequences_batched(fd, x, y, v, cfg)
+        vb, vh = np.asarray(rb[2]), np.asarray(rh[2])
+        both = (vb >= 0) & (vh >= 0)
+        dd = np.hypot(np.asarray(rb[0]) - np.asarray(rh[0]),
+                      np.asarray(rb[1]) - np.asarray(rh[1]))[both]
+        out["batched_3seq_4096feat_bf16"] = {
+            "aggregate_frames_per_s": round(agg, 1),
+            "tracked_features_per_s": round(agg * n, 0),
+            "status_agreement_vs_exact": round(
+                float(((vb >= 0) == (vh >= 0)).mean()), 4),
+            "within_half_px_vs_exact": round(
+                float((dd <= 0.5).mean()) if dd.size else 1.0, 4),
+        }
+    finally:
+        if prec_saved is None:
+            os.environ.pop("KLT_TPU_EXTRACT_PREC", None)
+        else:
+            os.environ["KLT_TPU_EXTRACT_PREC"] = prec_saved
+
     # single-sequence 4096-feature latency (VERDICT r2 #4: the large-F
     # extraction scheme's single-stream number, traffic sequence)
     from klt_tpu.runtime.pipeline import track_sequence
