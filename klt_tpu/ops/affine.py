@@ -55,11 +55,14 @@ _RESIDENT = int(os.environ.get("KLT_TPU_AFFINE_RESIDENT_P", "48"))
 # (patch_oob guards).
 _HI = jax.lax.Precision.HIGHEST
 # Warped-window sampling runs at HIGH (3-pass): the weighted-selection
-# einsums are the affine stage's dominant cost (two [N, K, P] einsums
-# per Gauss-Newton iteration), and the 2^-14-relative rounding this
-# admits is two orders of magnitude below the 0.5 px contract.  The
-# normal-equation/solve path stays HIGHEST.
-_SAMPLE_PREC = jax.lax.Precision.HIGH
+# einsums are a large share of the Gauss-Newton loop cost (two
+# [N, K, P] einsums per iteration), and the 2^-14-relative rounding
+# this admits is two orders of magnitude below the 0.5 px contract.
+# KLT_TPU_AFFINE_SAMPLE_PREC=bf16 (import-time) drops to single-pass
+# for A/B; the normal-equation/solve path stays HIGHEST either way.
+_SAMPLE_PREC = (jax.lax.Precision.DEFAULT
+                if os.environ.get("KLT_TPU_AFFINE_SAMPLE_PREC") == "bf16"
+                else jax.lax.Precision.HIGH)
 
 
 def _bilinear_weights(u, v, ph, pw):
@@ -312,9 +315,9 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
 
         return sample2_img, sample2_all, no_oob, no_oob
 
-    def make_samplers(resid, pax0, pay0):
+    def make_samplers(resid, pax0, pay0, pres_loc=None):
         """Sampler + patch-bound closures over one lane-width's
-        operands (full or compacted)."""
+        operands (full, compacted, or the repair pass's big patches)."""
         if not have_res:
             # image smaller than the resident patch: gather sampling
             def sample2_img(xs, ys):
@@ -330,7 +333,9 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
 
             return sample2_img, sample2_all, patch_oob_x, patch_oob_x
 
-        rimg = resid[:, :, :pres]
+        p_loc = pres if pres_loc is None else pres_loc
+        p_locf = np.float32(p_loc)
+        rimg = resid[:, :, :p_loc]
         pax0f = pax0.astype(jnp.float32)[:, None]
         pay0f = pay0.astype(jnp.float32)[:, None]
 
@@ -339,19 +344,20 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
 
         def sample2_all(xs, ys):
             return _sample_in_patch3(resid, xs - pax0f, ys - pay0f,
-                                     pres)
+                                     p_loc)
 
-        # A warp+drift that leaves the ~16 px resident margin would
-        # silently read edge-clamped values where the reference reads
-        # real image data — mark such features OOB instead (they are
-        # beyond affine_max_displacement_differ in practice anyway).
+        # A warp+drift that leaves the resident margin would silently
+        # read edge-clamped values where the reference reads real
+        # image data — mark such features OOB instead (the main pass
+        # routes them to the repair pass; the repair pass's far larger
+        # margin kills only absurd warps).
         def patch_oob_x(c):
             lc = c - pax0f[:, 0]
-            return (lc < 0.0) | (presf - lc < _EPS)
+            return (lc < 0.0) | (p_locf - lc < _EPS)
 
         def patch_oob_y(c):
             lc = c - pay0f[:, 0]
-            return (lc < 0.0) | (presf - lc < _EPS)
+            return (lc < 0.0) | (p_locf - lc < _EPS)
 
         return sample2_img, sample2_all, patch_oob_x, patch_oob_y
 
@@ -587,23 +593,33 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
     esc = (esc | esc_final) & active
 
     # Escape-repair pass: lanes whose warp/drift left the resident
-    # patch are re-tracked from scratch against the full image (exact
-    # reference semantics) and overwrite the fast-path result.  Runs
-    # only when an escape occurred (rare: a handful of lanes per frame
-    # at most), compacted to m_r lanes.
+    # patch are re-tracked from scratch with a FAR larger per-lane
+    # resident patch (KLT_TPU_AFFINE_REPAIR_P, default 192 — margin
+    # ~89 px vs the main patch's ~17) and overwrite the fast-path
+    # result.  Compacted to m_r lanes; big patches move as vmapped
+    # dynamic-slice blocks (~56 MB at 128 lanes), and sampling stays
+    # on the one-hot-einsum MXU path.  The round-4 first cut sampled
+    # escaped lanes with jnp.take gathers — measured 15.6 ms/frame on
+    # laptops (gathers serialize on the scalar core); the big-patch
+    # formulation removes that wall.  A lane escaping even the repair
+    # margin is killed OOB (a warp excursion > ~89 px from center —
+    # far beyond anything the drift kill leaves alive).  Lanes beyond
+    # m_r escapes fall back to exact full-image gather sampling
+    # (pathological; correctness over speed).
     if have_res:
         m_r = min(int(os.environ.get("KLT_TPU_AFFINE_REPAIR_M", "128")),
                   -(-n_lanes // 128) * 128)
+        p_rep = min(int(os.environ.get("KLT_TPU_AFFINE_REPAIR_P",
+                                       "192")), nr2, nc2)
 
         def repair(args):
             x2_a, y2_a, axx_a, ayx_a, axy_a, ayy_a, status_a = args
             cnt_e = jnp.sum(esc.astype(jnp.int32))
             slots_e = jnp.cumsum(esc.astype(jnp.int32)) - 1
-            samp_e = make_exact_samplers()
 
-            def _run_exact_with_inputs(st_init, g1_e, gx1w_e, gy1w_e,
-                                       src_oob_e, x2i, y2i):
-                body_e = make_body(samp_e, g1_e, gx1w_e, gy1w_e,
+            def _run_repair(samp_r, st_init, g1_e, gx1w_e, gy1w_e,
+                            src_oob_e, x2i, y2i):
+                body_e = make_body(samp_r, g1_e, gx1w_e, gy1w_e,
                                    src_oob_e)
                 _, stf = run_gn(body_e, jnp.int32(0), st_init, max_it)
                 x2e, y2e, axxe, ayxe, axye, ayye, ste = stf[:7]
@@ -614,12 +630,12 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
                 dr = ((x2e - x2i) > mdd) | ((y2e - y2i) > mdd)
                 ste = jnp.where(final_oob | dr, OOB, ste)
                 if mode == 0:
-                    g2e = samp_e[0](x2e[:, None] + dxo[None, :],
+                    g2e = samp_r[0](x2e[:, None] + dxo[None, :],
                                     y2e[:, None] + dyo[None, :])
                 else:
                     wxe, wye = warp_coords(axxe, ayxe, axye, ayye,
                                            x2e, y2e)
-                    g2e = samp_e[0](wxe, wye)
+                    g2e = samp_r[0](wxe, wye)
                 res_e = jnp.sum(jnp.abs(g1_e - g2e), axis=1) / area
                 ste = jnp.where(
                     (ste == TRACKED) &
@@ -634,22 +650,38 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
                 pad_dead = jnp.arange(m_r, dtype=jnp.int32) >= cnt_e
                 st0_c = tuple(_gather_rows(a, idx_e) for a in st0)
                 st0_c = st0_c[:7] + (st0_c[7] | pad_dead, st0_c[8])
-                nonlocal_x2in = _gather_rows(x2_in, idx_e)
-                nonlocal_y2in = _gather_rows(y2_in, idx_e)
-                rs = _run_exact_with_inputs(
-                    st0_c, _gather_rows(g1_full, idx_e),
+                x2i_e = _gather_rows(x2_in, idx_e)
+                y2i_e = _gather_rows(y2_in, idx_e)
+                # big per-lane resident patches around the pre-track
+                # positions of the escaped lanes
+                px0_e = jnp.clip(x2i_e.astype(jnp.int32) - p_rep // 2,
+                                 0, nc2 - p_rep)
+                py0_e = jnp.clip(y2i_e.astype(jnp.int32) - p_rep // 2,
+                                 0, nr2 - p_rep)
+                st2 = jnp.stack([img2, gradx2, grady2])
+
+                def one(ys, xs):
+                    return jax.lax.dynamic_slice(
+                        st2, (0, ys, xs), (3, p_rep, p_rep))
+
+                pb = jax.vmap(one)(py0_e, px0_e)
+                resid_e = pb.transpose(0, 2, 1, 3).reshape(
+                    -1, p_rep, 3 * p_rep)
+                samp_r = make_samplers(resid_e, px0_e, py0_e, p_rep)
+                rs = _run_repair(
+                    samp_r, st0_c, _gather_rows(g1_full, idx_e),
                     _gather_rows(gx1w_full, idx_e),
                     _gather_rows(gy1w_full, idx_e),
                     _gather_rows(src_oob_full, idx_e),
-                    nonlocal_x2in, nonlocal_y2in)
+                    x2i_e, y2i_e)
                 sl = jnp.clip(slots_e, 0, m_r - 1)
                 return tuple(jnp.take(a, sl, axis=0) for a in rs)
 
             def full_repair(_):
                 st0_f = st0[:7] + (st0[7] | ~esc, st0[8])
-                return _run_exact_with_inputs(
-                    st0_f, g1_full, gx1w_full, gy1w_full, src_oob_full,
-                    x2_in, y2_in)
+                return _run_repair(
+                    make_exact_samplers(), st0_f, g1_full, gx1w_full,
+                    gy1w_full, src_oob_full, x2_in, y2_in)
 
             rep = jax.lax.cond(cnt_e <= m_r, compact_repair,
                                full_repair, 0)

@@ -280,9 +280,10 @@ def extract_packed_cb(stack_packed: jax.Array, y0: jax.Array,
     per-feature block-diagonal column one-hot [C*W, C*nx], then a
     binary row re-alignment (masked static slices).  One-hot matmuls
     run at Precision.HIGH (selection exact to the data's low mantissa
-    bits; see onehot_extract_packed).
+    bits; see onehot_extract_packed), or single-pass with a bf16 band
+    under KLT_TPU_EXTRACT_PREC=bf16 (_extract_mm).
     """
-    prec = jax.lax.Precision.HIGH
+    prec, band_dt = _extract_mm()
     h, cw = stack_packed.shape
     w_img = cw // c
     f = y0.shape[0]
@@ -303,7 +304,7 @@ def extract_packed_cb(stack_packed: jax.Array, y0: jax.Array,
         hi = jnp.arange(h, dtype=jnp.int32)
         row_oh = (rows[:, None] == hi[None, :]).astype(jnp.float32)
         band = jnp.dot(row_oh, stack_packed, precision=prec,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=band_dt)
         band = band.reshape(f, ny, cw)
         return jnp.einsum("frw,fwj->frj", band, col_oh, precision=prec,
                           preferred_element_type=jnp.float32)
@@ -316,7 +317,7 @@ def extract_packed_cb(stack_packed: jax.Array, y0: jax.Array,
 def _band_select(stack_packed: jax.Array, y0: jax.Array, ny: int):
     """Row-block-aligned band selection shared by the packed
     extractors: returns (band [F, nblk*8, C*W], rem [F])."""
-    prec = jax.lax.Precision.HIGH
+    prec, band_dt = _extract_mm()
     h, cw = stack_packed.shape
     b = _ROW_BLOCK
     hp = (-h) % b
@@ -339,7 +340,7 @@ def _band_select(stack_packed: jax.Array, y0: jax.Array, ny: int):
               ).astype(jnp.float32)
     st4 = stack_packed.reshape(nb_img, b * cw)
     band = jnp.einsum("bh,hw->bw", blk_oh, st4, precision=prec,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=band_dt)
     return band.reshape(f, nblk * b, cw), rem
 
 

@@ -82,19 +82,22 @@ def main():
         worker(n)
         return
     n_frames = sys.argv[1] if len(sys.argv) > 1 else "60"
-    combos = []
-    for p in ("48", "32"):
-        for pre in ("2", "1"):
-            combos.append({"KLT_TPU_AFFINE_RESIDENT_P": p,
-                           "KLT_TPU_AFFINE_COMPACT_PRE": pre})
-    combos.append({"KLT_TPU_AFFINE_RESIDENT_P": "48",
-                   "KLT_TPU_AFFINE_COMPACT_PRE": "2",
-                   "KLT_TPU_AFFINE_RESIDENT": "ds"})
+    combos = [
+        {},
+        {"KLT_TPU_AFFINE_RESIDENT_P": "32"},
+        {"KLT_TPU_AFFINE_REPAIR_P": "96"},
+        {"KLT_TPU_EXTRACT_PREC": "bf16"},
+        {"KLT_TPU_AFFINE_SAMPLE_PREC": "bf16"},
+        {"KLT_TPU_EXTRACT_PREC": "bf16",
+         "KLT_TPU_AFFINE_SAMPLE_PREC": "bf16",
+         "KLT_TPU_AFFINE_RESIDENT_P": "32",
+         "KLT_TPU_AFFINE_REPAIR_P": "96"},
+    ]
     for combo in combos:
         env = dict(os.environ)
         env.update(combo)
-        tag = " ".join(f"{k.split('AFFINE_')[1]}={v}"
-                       for k, v in combo.items())
+        tag = " ".join(f"{k.replace('KLT_TPU_', '')}={v}"
+                       for k, v in combo.items()) or "baseline"
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker",
              n_frames],

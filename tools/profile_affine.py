@@ -58,7 +58,7 @@ def main():
 
     def timed(fn, label, reps=3):
         r = fn()
-        jax.block_until_ready(r)
+        np.asarray(jax.tree_util.tree_leaves(r)[0])  # drain async compile
         t0 = time.perf_counter()
         for _ in range(reps):
             r = fn()
