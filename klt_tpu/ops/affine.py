@@ -45,14 +45,13 @@ import os
 
 _EPS = np.float32(1.001)
 _PATCH_BORDER = 2  # interpolation margin around the affine window (:1439)
-_RESIDENT = int(os.environ.get("KLT_TPU_AFFINE_RESIDENT_P", "48"))
+_RESIDENT = int(os.environ.get("KLT_TPU_AFFINE_RESIDENT_P", "32"))
 # per-feature resident image patch side (gather-free warped sampling).
-# The default 48 leaves ~16 px of margin beyond the 15x15 affine
-# window for warp + drift excursions; sampling-einsum cost scales with
-# P^2, so P=32 (margin ~6.5 px, still >> the 1.5 px kill threshold
-# affine_max_displacement_differ) trades excursion headroom for 2.25x
-# fewer MACs — features leaving the margin are OOB-killed either way
-# (patch_oob guards).
+# Sampling-einsum + extraction cost scales with P; margin excursions
+# are no longer kills since round 4 — they route to the escape-repair
+# pass — so the default is the measured-fastest P=32 (laptops 2000
+# feat: 57.1 fps vs 45.1 at P=48, identical parity;
+# tools/bench_affine_knobs.py r4).
 _HI = jax.lax.Precision.HIGHEST
 # Warped-window sampling runs at HIGH (3-pass): the weighted-selection
 # einsums are a large share of the Gauss-Newton loop cost (two
@@ -609,8 +608,10 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
     if have_res:
         m_r = min(int(os.environ.get("KLT_TPU_AFFINE_REPAIR_M", "128")),
                   -(-n_lanes // 128) * 128)
+        # default 96 (margin ~41 px): measured winner over 128/192 on
+        # laptops (63.0 / 58.2 / 48.3-at-192+P48 fps, same parity)
         p_rep = min(int(os.environ.get("KLT_TPU_AFFINE_REPAIR_P",
-                                       "192")), nr2, nc2)
+                                       "96")), nr2, nc2)
 
         def repair(args):
             x2_a, y2_a, axx_a, ayx_a, axy_a, ayy_a, status_a = args

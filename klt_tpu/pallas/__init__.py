@@ -42,6 +42,8 @@ _TRACE_KNOBS = (
     ("KLT_TPU_CARRY_REFRESH", "1"),
     ("KLT_TPU_P2_ROWS", "0"),
     ("KLT_TPU_EXTRACT_PREC", "high"),
+    ("KLT_TPU_SCAN_UNROLL", "1"),
+    ("KLT_TPU_AFFINE_REPAIR_P", ""),
 )
 
 

@@ -25,6 +25,15 @@ from ..ops.interp import pack_stack_channels, extract_packed_cb
 from ..ops.pyramid import build_image_pyramids
 
 
+def _scan_unroll() -> int:
+    """KLT_TPU_SCAN_UNROLL: unroll factor for the whole-sequence scans
+    (bit-exact — the same body inlined N times; trades compile time +
+    code size for less per-step scan glue).  Trace-time, keyed via
+    pallas_key."""
+    import os
+    return max(1, int(os.environ.get("KLT_TPU_SCAN_UNROLL", "1")))
+
+
 def _track_level_kernel_batched(sp1, sp2, x1, y1, x2, y2, active,
                                 cfg: TrackingConfig, carry_in=None,
                                 want_carry=False, want_residue=True):
@@ -463,7 +472,8 @@ def _track_sequences_batched(frames, x, y, val, cfg: TrackingConfig,
 
             (_, _, xf, yf, vf), tables = jax.lax.scan(
                 body, (sp0, c0, x, y, val),
-                sp_xs if precomp else jnp.arange(1, frames.shape[1]))
+                sp_xs if precomp else jnp.arange(1, frames.shape[1]),
+                unroll=_scan_unroll())
             return tables
 
         def body(carry, xs):
@@ -475,7 +485,8 @@ def _track_sequences_batched(frames, x, y, val, cfg: TrackingConfig,
 
         (_, xf, yf, vf), tables = jax.lax.scan(
             body, (sp0, x, y, val),
-            sp_xs if precomp else jnp.arange(1, frames.shape[1]))
+            sp_xs if precomp else jnp.arange(1, frames.shape[1]),
+            unroll=_scan_unroll())
         return tables
 
     vpyr = jax.vmap(lambda im: build_image_pyramids(im, cfg))

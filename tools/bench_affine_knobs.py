@@ -83,15 +83,16 @@ def main():
         return
     n_frames = sys.argv[1] if len(sys.argv) > 1 else "60"
     combos = [
-        {},
-        {"KLT_TPU_AFFINE_RESIDENT_P": "32"},
-        {"KLT_TPU_AFFINE_REPAIR_P": "96"},
-        {"KLT_TPU_EXTRACT_PREC": "bf16"},
-        {"KLT_TPU_AFFINE_SAMPLE_PREC": "bf16"},
-        {"KLT_TPU_EXTRACT_PREC": "bf16",
-         "KLT_TPU_AFFINE_SAMPLE_PREC": "bf16",
-         "KLT_TPU_AFFINE_RESIDENT_P": "32",
+        {"KLT_TPU_AFFINE_RESIDENT_P": "32",
          "KLT_TPU_AFFINE_REPAIR_P": "96"},
+        {"KLT_TPU_AFFINE_RESIDENT_P": "32",
+         "KLT_TPU_AFFINE_REPAIR_P": "128"},
+        {"KLT_TPU_AFFINE_RESIDENT_P": "32",
+         "KLT_TPU_AFFINE_REPAIR_P": "96",
+         "KLT_TPU_AFFINE_COMPACT_M": "64"},
+        {"KLT_TPU_AFFINE_RESIDENT_P": "32",
+         "KLT_TPU_AFFINE_REPAIR_P": "96",
+         "KLT_TPU_AFFINE_COMPACT_M": "32"},
     ]
     for combo in combos:
         env = dict(os.environ)

@@ -124,6 +124,12 @@ def main():
     if "--prec-only" in sys.argv:
         measure({"KLT_TPU_EXTRACT_PREC": "bf16"})
         return
+    if "--unroll-only" in sys.argv:
+        measure({"KLT_TPU_EXTRACT_PREC": "bf16",
+                 "KLT_TPU_SCAN_UNROLL": "3"})
+        measure({"KLT_TPU_EXTRACT_PREC": "bf16",
+                 "KLT_TPU_SCAN_UNROLL": "9"})
+        return
     if "--baseline-only" in sys.argv:
         return
     measure({"KLT_TPU_EXTRACT_PREC": "bf16"})
