@@ -311,10 +311,11 @@ def bench_flagship_batched(jax, jnp, klt, out):
     # within the accuracy contract (status agreement 1.0, drift <=
     # 0.5 px vs the CPU golden table).
     prsweep = tuple(s for s in os.environ.get(
-        "KLT_TPU_BENCH_PREC", "bf16").split(",") if s)
+        "KLT_TPU_BENCH_PREC", "bf16,bf16:3").split(",") if s)
     if prsweep and best_entry is not None:
         b = best_entry["batch"]
         prec_saved = os.environ.get("KLT_TPU_EXTRACT_PREC")
+        unroll_saved = os.environ.get("KLT_TPU_SCAN_UNROLL")
         os.environ["KLT_TPU_PRECOMP_PYR"] = (
             "1" if best_entry.get("precomp_pyramids") else "0")
         fb = jnp.asarray(np.broadcast_to(
@@ -324,8 +325,10 @@ def bench_flagship_batched(jax, jnp, klt, out):
         v = jnp.asarray(np.broadcast_to(fl.val, (b, 150)).copy())
         reps = int(os.environ.get("KLT_TPU_BENCH_REPS", "10"))
         golden = "/root/reference/src/V1/feat/features2.ft"
-        for prec in prsweep:
+        for spec in prsweep:
+            prec, _, unroll = spec.partition(":")
             os.environ["KLT_TPU_EXTRACT_PREC"] = prec
+            os.environ["KLT_TPU_SCAN_UNROLL"] = unroll or "1"
 
             @jax.jit
             def timed_run_p(fb, x, y, v):
@@ -349,6 +352,7 @@ def bench_flagship_batched(jax, jnp, klt, out):
             entry = dict(best_entry)
             entry.update({
                 "extract_prec": prec,
+                "scan_unroll": int(unroll or "1"),
                 "aggregate_frames_per_s": round(agg, 1),
                 "vs_baseline_fps": round(agg / CPU_BASELINE_FPS, 1),
                 "tracked_features_per_s": round(agg * 150, 0),
@@ -373,13 +377,18 @@ def bench_flagship_batched(jax, jnp, klt, out):
                 entry["lane0_drift_px_vs_cpu_golden"] = dmax
                 entry["lane0_status_agreement"] = agree / total
                 ok = (agree == total) and dmax <= 0.5
-            out[f"flagship_batched_b{b}_{prec}"] = entry
+            out[f"flagship_batched_b{b}_{spec.replace(':', '_u')}"] = \
+                entry
             if ok and (agg > best_entry["aggregate_frames_per_s"]):
                 best_entry = entry
         if prec_saved is None:
             os.environ.pop("KLT_TPU_EXTRACT_PREC", None)
         else:
             os.environ["KLT_TPU_EXTRACT_PREC"] = prec_saved
+        if unroll_saved is None:
+            os.environ.pop("KLT_TPU_SCAN_UNROLL", None)
+        else:
+            os.environ["KLT_TPU_SCAN_UNROLL"] = unroll_saved
         if pre_saved is None:
             os.environ.pop("KLT_TPU_PRECOMP_PYR", None)
         else:
