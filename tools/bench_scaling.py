@@ -64,8 +64,10 @@ def run_scaling(per_dev_batches=(1, 2, 4), reps=None, emit=print):
             for _ in range(reps):
                 out = track_batch(fb, xb, yb, vb, cfg, mesh=mesh)
             jax.block_until_ready(out)
+            return out
 
-        run()  # warmup/compile
+        out = run()  # warmup/compile
+        np.asarray(out[0])  # drain the async compile queue
         t0 = time.perf_counter()
         run()
         dt = time.perf_counter() - t0
@@ -91,9 +93,19 @@ def main():
     if os.environ.get("KLT_FORCE_CPU") == "1":
         # the axon sitecustomize force-registers the TPU platform and
         # ignores JAX_PLATFORMS; override back to the virtual CPU mesh
-        # (set XLA_FLAGS=--xla_force_host_platform_device_count=8)
+        # and RESET the backend (a config update alone is ignored once
+        # the plugin backend exists — same recipe as dryrun_multichip)
         import jax
+        try:
+            jax.config.update("jax_num_cpu_devices", 8)
+        except Exception:
+            pass
         jax.config.update("jax_platforms", "cpu")
+        import jax.extend.backend as _jeb
+        _jeb.clear_backends()
+        if jax.devices()[0].platform != "cpu":
+            print(json.dumps({"error": "could not force CPU mesh"}))
+            return
     out = run_scaling()
     print(json.dumps(out))
 
