@@ -781,6 +781,10 @@ def bench_slam_e2e(jax, jnp, klt, out):
     t_pg0 = time.perf_counter()
     pg = build_keyframe_pose_graph(lm_idx, cam_idx, u, v, n_pose,
                                    fx, fy, cx, cy)
+    pg_build_compile_s = time.perf_counter() - t_pg0
+    t_pg0 = time.perf_counter()
+    pg = build_keyframe_pose_graph(lm_idx, cam_idx, u, v, n_pose,
+                                   fx, fy, cx, cy)
     pg_build_s = time.perf_counter() - t_pg0
     t0 = time.perf_counter()
     R_init, t_init, pg_costs = optimize_pose_graph(pg, iterations=10)
@@ -846,6 +850,7 @@ def bench_slam_e2e(jax, jnp, klt, out):
         "observations": int(len(cam_idx)),
         "pose_graph": {
             "build_s": round(pg_build_s, 2),
+            "build_compile_s": round(pg_build_compile_s, 2),
             "compile_s": round(pg_compile_s, 2),
             "steady_s": round(pg_steady_s, 3),
             "cost": [round(float(pg_costs[i]), 5) for i in (0, -1)],
