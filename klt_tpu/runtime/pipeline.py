@@ -60,6 +60,15 @@ def _stacks_stream(frames_tail, cfg: TrackingConfig):
         lambda im: tuple(build_pyramid_stacks(im, cfg)))(frames_tail))
 
 
+def _scan_unroll() -> int:
+    """KLT_TPU_SCAN_UNROLL (trace-time, keyed via pallas_key): unroll
+    factor for the whole-sequence scans — bit-exact, trades compile
+    time for less per-step scan glue (r4 A/B on the batched flagship:
+    unroll 3 = +6%)."""
+    import os
+    return max(1, int(os.environ.get("KLT_TPU_SCAN_UNROLL", "1")))
+
+
 def track_sequence(frames, x, y, val, cfg: TrackingConfig):
     """Track features through a whole sequence in one compiled program.
 
@@ -91,7 +100,7 @@ def _track_sequence_jit(frames, x, y, val, cfg: TrackingConfig,
 
     xs = _stacks_stream(frames[1:], cfg) if precomp else frames[1:]
     (_, _, xf, yf, vf), tables = jax.lax.scan(
-        body, (st0, c0, x, y, val), xs)
+        body, (st0, c0, x, y, val), xs, unroll=_scan_unroll())
     return tables
 
 
@@ -167,7 +176,7 @@ def _track_sequence_replace_jit(frames, x, y, val, cfg: TrackingConfig,
 
     xs = _stacks_stream(frames[1:], cfg) if precomp else frames[1:]
     (_, _, xf, yf, vf), tables = jax.lax.scan(
-        body, (st0, c0, x, y, val), xs)
+        body, (st0, c0, x, y, val), xs, unroll=_scan_unroll())
     return tables
 
 
@@ -223,7 +232,7 @@ def _track_sequence_affine_jit(frames, x, y, val, cfg: TrackingConfig,
 
     xs = _stacks_stream(frames[1:], cfg) if precomp else frames[1:]
     (_, _, xf, yf, vf, _), tables = jax.lax.scan(
-        body, (pyr0, c0, x, y, val, aff0), xs)
+        body, (pyr0, c0, x, y, val, aff0), xs, unroll=_scan_unroll())
     return tables
 
 
