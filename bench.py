@@ -491,6 +491,32 @@ def bench_traffic_replace(jax, jnp, klt, out):
     _table_parity(entry, ft.x, ft.y, ft.val, "table_traffic_500r.ft")
     out["traffic_500feat_replace_551f"] = entry
 
+    # bf16-band extraction point (r4 A/B: +40% at contract-holding
+    # parity — same-detection within-0.5px 0.9993, p99 0.29 px; the
+    # affine configs keep f32, see ops/interp.py).  Reported with its
+    # own parity fields; default stays exact.
+    prec_saved = os.environ.get("KLT_TPU_EXTRACT_PREC")
+    os.environ["KLT_TPU_EXTRACT_PREC"] = "bf16"
+    try:
+        xs0, ys0, vs0 = run(x, y, v, collect=True)  # retrace + collect
+        t0 = time.perf_counter()
+        run(x, y, v, collect=False)
+        dt_b = time.perf_counter() - t0
+        entry_b = {
+            "frames_per_s": round((n_frames - 1) / dt_b, 1),
+            "vs_measured_cpu_baseline": round(
+                (n_frames - 1) / dt_b / CPU_TRAFFIC_REPLACE_FPS, 1),
+            "extract_prec": "bf16",
+        }
+        _table_parity(entry_b, ft.x, ft.y, ft.val,
+                      "table_traffic_500r.ft")
+        out["traffic_500feat_replace_551f_bf16"] = entry_b
+    finally:
+        if prec_saved is None:
+            os.environ.pop("KLT_TPU_EXTRACT_PREC", None)
+        else:
+            os.environ["KLT_TPU_EXTRACT_PREC"] = prec_saved
+
 
 def bench_laptops_affine(jax, jnp, klt, out):
     """Config 3: 2000 features, affine consistency check, 4-level

@@ -280,10 +280,13 @@ def extract_packed_cb(stack_packed: jax.Array, y0: jax.Array,
     per-feature block-diagonal column one-hot [C*W, C*nx], then a
     binary row re-alignment (masked static slices).  One-hot matmuls
     run at Precision.HIGH (selection exact to the data's low mantissa
-    bits; see onehot_extract_packed), or single-pass with a bf16 band
-    under KLT_TPU_EXTRACT_PREC=bf16 (_extract_mm).
+    bits; see onehot_extract_packed) — NOT governed by
+    KLT_TPU_EXTRACT_PREC: this extractor feeds the affine stage's
+    PERSISTENT reference patches, where a bf16 rounding compounds into
+    kill-decision flips (measured r4: laptops agreement 0.998 -> 0.982
+    with the knob applied here).
     """
-    prec, band_dt = _extract_mm()
+    prec, band_dt = jax.lax.Precision.HIGH, jnp.float32
     h, cw = stack_packed.shape
     w_img = cw // c
     f = y0.shape[0]
@@ -308,16 +311,20 @@ def extract_packed_cb(stack_packed: jax.Array, y0: jax.Array,
         band = band.reshape(f, ny, cw)
         return jnp.einsum("frw,fwj->frj", band, col_oh, precision=prec,
                           preferred_element_type=jnp.float32)
-    band, rem = _band_select(stack_packed, y0, ny)
+    band, rem = _band_select(stack_packed, y0, ny,
+                             mm=(prec, band_dt))
     sel = jnp.einsum("frw,fwj->frj", band, col_oh, precision=prec,
                      preferred_element_type=jnp.float32)  # [F, 24, C*nx]
     return _realign_rows(sel, rem, ny)
 
 
-def _band_select(stack_packed: jax.Array, y0: jax.Array, ny: int):
+def _band_select(stack_packed: jax.Array, y0: jax.Array, ny: int,
+                 mm=None):
     """Row-block-aligned band selection shared by the packed
-    extractors: returns (band [F, nblk*8, C*W], rem [F])."""
-    prec, band_dt = _extract_mm()
+    extractors: returns (band [F, nblk*8, C*W], rem [F]).  mm
+    overrides the (precision, band dtype) pair; default follows
+    KLT_TPU_EXTRACT_PREC."""
+    prec, band_dt = mm if mm is not None else _extract_mm()
     h, cw = stack_packed.shape
     b = _ROW_BLOCK
     hp = (-h) % b
