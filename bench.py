@@ -516,6 +516,10 @@ def bench_traffic_replace(jax, jnp, klt, out):
             os.environ.pop("KLT_TPU_EXTRACT_PREC", None)
         else:
             os.environ["KLT_TPU_EXTRACT_PREC"] = prec_saved
+        if unroll_saved is None:
+            os.environ.pop("KLT_TPU_SCAN_UNROLL", None)
+        else:
+            os.environ["KLT_TPU_SCAN_UNROLL"] = unroll_saved
 
 
 def bench_laptops_affine(jax, jnp, klt, out):
@@ -642,7 +646,9 @@ def bench_batched_3x4096(jax, jnp, klt, out):
     # reported alongside (no reference oracle exists at 4096 feat:
     # the reference caps selection well below that on these scenes).
     prec_saved = os.environ.get("KLT_TPU_EXTRACT_PREC")
+    unroll_saved = os.environ.get("KLT_TPU_SCAN_UNROLL")
     os.environ["KLT_TPU_EXTRACT_PREC"] = "bf16"
+    os.environ["KLT_TPU_SCAN_UNROLL"] = "3"  # bit-exact, +4% here (r4)
     os.environ["KLT_TPU_PRECOMP_PYR"] = (
         "1" if entry and entry.get("precomp_pyramids") else "0")
     try:
