@@ -158,3 +158,47 @@ def test_checkpoint_resume_via_feature_table(tmp_path):
     alive = full[2] >= 0
     np.testing.assert_array_equal(fl2.x[alive], full[0][alive])
     np.testing.assert_array_equal(fl2.y[alive], full[1][alive])
+
+
+def test_detection_epochs_and_same_detection_parity():
+    """utils.parity: epoch assignment tracks replacement events, and
+    the same-detection drift metric excludes slots whose runs picked
+    different replacement features."""
+    import numpy as np
+    from klt_tpu.utils.parity import detection_epochs, table_parity_stats
+
+    # slot 0: tracked throughout; slot 1: replaced at t=2 (same pick);
+    # slot 2: replaced at t=2 with DIFFERENT picks in the two runs
+    v = np.array([[10, 0, 0, 0],
+                  [11, -1, 12, 0],
+                  [13, -1, 14, 0]], np.int32)
+    ep = detection_epochs(v)
+    np.testing.assert_array_equal(ep[0], [0, 0, 0, 0])
+    np.testing.assert_array_equal(ep[1], [0, 0, 2, 2])
+
+    x_r = np.array([[5., 5.1, 5.2, 5.3],
+                    [9., -1., 20., 20.1],
+                    [7., -1., 30., 30.1]], np.float32)
+    y_r = np.zeros_like(x_r)
+    x_o = x_r.copy()
+    x_o[2, 2:] = [40., 40.6]   # different replacement pick, far away
+    st = table_parity_stats(x_r, y_r, v, x_o, y_r, v)
+    assert st["status_agreement"] == 1.0
+    # co-live entries: slot2's post-replacement positions differ by 10px
+    assert st["within_half_px"] < 1.0
+    # but the divergent slot's entries are NOT same-detection
+    assert st["within_half_px_same_detection"] == 1.0
+    assert st["same_detection_frac"] < 1.0
+
+
+def test_pad_features_for_mesh_dead_lanes():
+    import numpy as np
+    from klt_tpu.parallel.batch import pad_features_for_mesh
+    x = np.ones((2, 5), np.float32)
+    y = np.ones((2, 5), np.float32)
+    v = np.zeros((2, 5), np.int32)
+    xp, yp, vp, n = pad_features_for_mesh(x, y, v, 4)
+    assert xp.shape == (2, 8) and n == 5
+    assert (vp[:, 5:] == -1).all() and (vp[:, :5] == 0).all()
+    x2, y2, v2, n2 = pad_features_for_mesh(x, y, v, 5)
+    assert x2.shape == (2, 5) and n2 == 5
