@@ -109,6 +109,38 @@ def bench_flagship(jax, jnp, klt, cfg, result):
     fps = 1.0 / best
     result["precomp_pyramids"] = best_pre
 
+    # single-stream bf16-band point (r4: +6.6%, golden status
+    # agreement 1.0 at ~0.13 px drift); the exact path stays the
+    # headline "value"
+    prec_saved = os.environ.get("KLT_TPU_EXTRACT_PREC")
+    os.environ["KLT_TPU_EXTRACT_PREC"] = "bf16"
+    try:
+        @jax.jit
+        def timed_run_b(frames, x, y, v):
+            def body(i, acc):
+                xs, ys, vs = track_sequence(frames, x + 1e-4 * i, y, v,
+                                            cfg)
+                return acc + xs[-1]
+            return jax.lax.fori_loop(0, reps, body, jnp.zeros_like(x))
+
+        r = timed_run_b(frames_dev, x0, y0, v0)
+        _drain(jax, r)
+        best_b = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = timed_run_b(frames_dev, x0, y0, v0)
+            jax.block_until_ready(r)
+            best_b = min(best_b, (time.perf_counter() - t0) /
+                         (reps * n_pairs))
+        result["value_bf16"] = round(1.0 / best_b, 2)
+        result["vs_baseline_bf16"] = round(
+            1.0 / best_b / CPU_BASELINE_FPS, 2)
+    finally:
+        if prec_saved is None:
+            os.environ.pop("KLT_TPU_EXTRACT_PREC", None)
+        else:
+            os.environ["KLT_TPU_EXTRACT_PREC"] = prec_saved
+
     tables = track_sequence(frames_dev, x0, y0, v0, cfg)
     jax.block_until_ready(tables)
     golden = "/root/reference/src/V1/feat/features2.ft"
@@ -1004,7 +1036,8 @@ def _emit(result):
         pass
 
     compact = {k: result[k] for k in
-               ("metric", "value", "unit", "vs_baseline", "device",
+               ("metric", "value", "unit", "vs_baseline", "value_bf16",
+                "vs_baseline_bf16", "device",
                 "drift_px_vs_cpu_golden", "status_agreement")
                if k in result}
     compact["configs"] = {}
