@@ -583,7 +583,15 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
         status = jnp.where((status == TRACKED) &
                            (residue > np.float32(cfg.affine_max_residue)),
                            LARGE_RESIDUE, status)
-        return status, pat_esc & (status == TRACKED)
+        # A pat_esc lane's g2 came from edge-clamped resident samples,
+        # so its residue is garbage — a lane killed LARGE_RESIDUE by it
+        # must also route to the repair pass (which re-samples with a
+        # far larger margin and recomputes the residue from real data;
+        # the reference samples the full image here,
+        # src/V1/trackFeatures.c:1195-1205).  OOB/drift kills use only
+        # coordinates, never samples, so they stay final.
+        return status, pat_esc & ((status == TRACKED) |
+                                  (status == LARGE_RESIDUE))
 
     samp_oob_x, samp_oob_y = samp_full[2], samp_full[3]
     x2, y2, axx, ayx, axy, ayy, status, _, esc = st
@@ -708,6 +716,7 @@ def affine_consistency_step(state: AffineState, pyr1_state, pyr2_state,
     features are re-verified against it and killed on drift.
     Returns updated (x, y, val).
     """
+    from ..pallas import pallas_key
     pyr1, gx1, gy1 = pyr1_state
     pyr2, gx2, gy2 = pyr2_state
     out = _affine_step_jit(state.valid, state.img, state.gradx, state.grady,
@@ -715,7 +724,7 @@ def affine_consistency_step(state: AffineState, pyr1_state, pyr2_state,
                            state.axy, state.ayy,
                            pyr1[0], gx1[0], gy1[0],
                            pyr2[0], gx2[0], gy2[0],
-                           x_old, y_old, xn, yn, vn, cfg)
+                           x_old, y_old, xn, yn, vn, cfg, pallas_key())
     (state.valid, state.img, state.gradx, state.grady, state.x, state.y,
      state.axx, state.ayx, state.axy, state.ayy, x_out, y_out,
      val_out) = out
@@ -725,10 +734,11 @@ def affine_consistency_step(state: AffineState, pyr1_state, pyr2_state,
 import functools
 
 
-@functools.partial(jax.jit, static_argnums=21)
+@functools.partial(jax.jit, static_argnums=(21, 22))
 def _affine_step_jit(valid, pimg, pgx, pgy, ax_c, ay_c, axx, ayx, axy, ayy,
                      img1, gradx1, grady1, img2, gradx2, grady2,
-                     x_old, y_old, xn, yn, vn, cfg: TrackingConfig):
+                     x_old, y_old, xn, yn, vn, cfg: TrackingConfig,
+                     pallas_key=None):
     pw = cfg.affine_window_width + _PATCH_BORDER
     ph = cfg.affine_window_height + _PATCH_BORDER
 

@@ -44,6 +44,8 @@ _TRACE_KNOBS = (
     ("KLT_TPU_EXTRACT_PREC", "high"),
     ("KLT_TPU_SCAN_UNROLL", "1"),
     ("KLT_TPU_AFFINE_REPAIR_P", ""),
+    ("KLT_TPU_AFFINE_REPAIR_M", ""),
+    ("KLT_TPU_AFFINE_COMPACT_M", ""),
 )
 
 

@@ -224,7 +224,7 @@ def _track_sequence_affine_jit(frames, x, y, val, cfg: TrackingConfig,
         out = _affine_step_jit(
             *aff, st1[0][0], st1[0][1], st1[0][2],
             st2[0][0], st2[0][1], st2[0][2],
-            xc, yc, xn, yn, vn, cfg)
+            xc, yc, xn, yn, vn, cfg, pallas_key)
         aff_new = tuple(out[:10])
         x_out, y_out, val_out = out[10], out[11], out[12]
         return ((st2, cn, x_out, y_out, val_out, aff_new),
