@@ -180,6 +180,125 @@ def _track_sequence_replace_jit(frames, x, y, val, cfg: TrackingConfig,
     return tables
 
 
+@functools.partial(jax.jit, static_argnums=(5, 6), donate_argnums=(0,))
+def _replace_chunk_flagged_jit(pyr1_state, frames, x, y, val,
+                               cfg: TrackingConfig, pallas_key=None):
+    """Scan one frame chunk with reference-exact in-scan replacement
+    (ops/replace_exact), outputting per-frame post-replace AND
+    pre-replace states plus the per-frame tie flags the repair driver
+    needs.  Returns ((x, y, val), pyr_final, per-frame ys)."""
+    from ..ops.replace_exact import replace_lost_features_exact
+
+    c0 = _init_level_carries(pyr1_state, x.shape[0], cfg)
+
+    def body(carry, frame):
+        st1, cc, x, y, v = carry
+        st2 = tuple(build_pyramid_stacks(frame, cfg))
+        xn, yn, vn, cn = track_features_pyramid_stacks(
+            list(st1), list(st2), x, y, v, cfg, carries=cc,
+            want_carry=True)
+        xr, yr, vr, tie = replace_lost_features_exact(frame, xn, yn, vn,
+                                                      cfg)
+        return (st2, cn, xr, yr, vr), (xr, yr, vr, xn, yn, vn, tie)
+
+    (st_f, _, xf, yf, vf), ys = jax.lax.scan(
+        body, (pyr1_state, c0, x, y, val), frames,
+        unroll=_scan_unroll())
+    return (xf, yf, vf), st_f, ys
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _exact_response_jit(frame, cfg: TrackingConfig, pallas_key=None):
+    from ..ops.replace_exact import exact_response_device
+    return exact_response_device(frame, cfg)
+
+
+def _repair_replacement_host(frame, pre_x, pre_y, pre_val,
+                             cfg: TrackingConfig):
+    """Reference-exact replacement for ONE tie-flagged frame: the
+    device's bit-exact response + the host native quicksort walk
+    (klt_tpu/native) resolves the integer tie with the reference's
+    own sort scheme (src/V1/selectGoodFeatures.c:62-96,171-239)."""
+    import numpy as np
+    from .. import native
+    from ..ops.selection import candidate_points
+
+    resp = np.asarray(_exact_response_jit(frame, cfg, _pallas_key()))
+    h, w = resp.shape
+    fx = np.ascontiguousarray(pre_x, np.float32)
+    fy = np.ascontiguousarray(pre_y, np.float32)
+    fv = np.ascontiguousarray(pre_val, np.int32)
+    pts = candidate_points(resp, cfg, w, h)
+    native.sort_points_desc(pts)
+    native.min_dist_suppress(pts, fx, fy, fv, w, h, cfg.mindist,
+                             cfg.min_eigenvalue, False)
+    return fx, fy, fv
+
+
+def track_sequence_replace_exact(frames, x, y, val, cfg: TrackingConfig):
+    """Whole-sequence tracking with REFERENCE-EXACT per-frame
+    replacement: the device scan uses the bit-exact integer response
+    and flags any pick decision that hit an integer tie (the only
+    divergence window, see ops/replace_exact.py); flagged frames are
+    repaired on the host with the native quicksort walk and the scan
+    resumes from the repaired state.  Tie-free spans (measured ~90% of
+    frames on images_traffic) never leave the device.
+
+    frames: uint8/f32 [T, H, W] (host or device); x, y f32 [N]; val
+    i32 [N].  Returns numpy (xs, ys, vals) of shape [T-1, N] matching
+    track_sequence_replace's contract, with picks equal to the
+    reference CPU tracker's (KLTReplaceLostFeatures each frame).
+    """
+    import numpy as np
+
+    t_total = int(frames.shape[0])
+    n = int(x.shape[0])
+    chunk = max(1, int(os.environ.get("KLT_TPU_REPLACE_CHUNK", "32")))
+    out_x = np.empty((t_total - 1, n), np.float32)
+    out_y = np.empty((t_total - 1, n), np.float32)
+    out_v = np.empty((t_total - 1, n), np.int32)
+
+    pyr = prepare_pyramids(jnp.asarray(frames[0]), cfg)
+    xd, yd, vd = jnp.asarray(x), jnp.asarray(y), jnp.asarray(val)
+    pk = _pallas_key()
+
+    t = 1  # next frame index to track into
+    while t < t_total:
+        rem = t_total - t
+        # power-of-two dispatch lengths bound compile count at
+        # log2(chunk)+1 programs (same scheme as track_sequence_stream)
+        step = chunk if rem >= chunk else 1 << (rem.bit_length() - 1)
+        fb = jnp.asarray(frames[t:t + step])
+        (xf, yf, vf), pyr2, ys = _replace_chunk_flagged_jit(
+            pyr, fb, xd, yd, vd, cfg, pk)
+        ties = np.asarray(ys[6])
+        if not ties.any():
+            out_x[t - 1:t - 1 + step] = np.asarray(ys[0])
+            out_y[t - 1:t - 1 + step] = np.asarray(ys[1])
+            out_v[t - 1:t - 1 + step] = np.asarray(ys[2])
+            pyr = pyr2
+            xd, yd, vd = xf, yf, vf
+            t += step
+            continue
+        k = int(np.argmax(ties))  # first tie-flagged offset
+        if k:
+            out_x[t - 1:t - 1 + k] = np.asarray(ys[0][:k])
+            out_y[t - 1:t - 1 + k] = np.asarray(ys[1][:k])
+            out_v[t - 1:t - 1 + k] = np.asarray(ys[2][:k])
+        fxr, fyr, fvr = _repair_replacement_host(
+            jnp.asarray(frames[t + k]), np.asarray(ys[3][k]),
+            np.asarray(ys[4][k]), np.asarray(ys[5][k]), cfg)
+        out_x[t - 1 + k] = fxr
+        out_y[t - 1 + k] = fyr
+        out_v[t - 1 + k] = fvr
+        xd = jnp.asarray(fxr)
+        yd = jnp.asarray(fyr)
+        vd = jnp.asarray(fvr)
+        pyr = prepare_pyramids(jnp.asarray(frames[t + k]), cfg)
+        t += k + 1
+    return out_x, out_y, out_v
+
+
 def track_sequence_affine(frames, x, y, val, cfg: TrackingConfig):
     """Whole-sequence tracking with the affine consistency check
     running inside the compiled scan.
