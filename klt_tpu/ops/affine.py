@@ -223,7 +223,9 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
                  a_in, active, cfg: TrackingConfig):
     """Batched Gauss-Newton against the saved reference patches.
 
-    patches: (img, gradx, grady) each [N, ph, pw]; img2/grad*2 [H, W];
+    patches: (img, gradx, grady) each [N, ph, pw]; img2/grad*2 [H, W]
+    — or [B, H, W] for the multi-sequence batched tier, with the lane
+    axis flattened seq-major (lane n belongs to sequence n // (N/B));
     x1,y1 [N] patch-frame centers; x2_in,y2_in [N] start positions in
     img2; a_in = (axx, ayx, axy, ayy).  Returns (x2, y2, a_out, status).
     """
@@ -232,7 +234,12 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
     hw, hh = np.float32(aw // 2), np.float32(ah // 2)
     pimg, pgx, pgy = patches
     ph, pw = pimg.shape[-2], pimg.shape[-1]
-    nr2, nc2 = img2.shape
+    batched = img2.ndim == 3
+    nseq = img2.shape[0] if batched else 1
+    n_lanes_total = int(x2_in.shape[0])
+    seq_ids = (jnp.repeat(jnp.arange(nseq, dtype=jnp.int32),
+                          n_lanes_total // nseq) if batched else None)
+    nr2, nc2 = img2.shape[-2], img2.shape[-1]
     nc2f, nr2f = np.float32(nc2), np.float32(nr2)
     pcf, prf = np.float32(pw), np.float32(ph)
     area = np.float32(aw * ah)
@@ -259,15 +266,31 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
             # materializes [N*P, 3W] (737 MB at N=2000, P=48); a
             # vmapped dynamic_slice of [3, P, P] blocks moves only the
             # patches themselves (bit-equal — integer-aligned copies)
-            st2 = jnp.stack([img2, gradx2, grady2])
+            if batched:
+                st2 = jnp.stack([img2, gradx2, grady2], axis=1)
 
-            def one(ys, xs):
-                return jax.lax.dynamic_slice(st2, (0, ys, xs),
-                                             (3, pres, pres))
+                def one(b, ys, xs):
+                    return jax.lax.dynamic_slice(
+                        st2, (b, 0, ys, xs), (1, 3, pres, pres))[0]
 
-            p = jax.vmap(one)(pa_y0, pa_x0)
+                p = jax.vmap(one)(seq_ids, pa_y0, pa_x0)
+            else:
+                st2 = jnp.stack([img2, gradx2, grady2])
+
+                def one(ys, xs):
+                    return jax.lax.dynamic_slice(st2, (0, ys, xs),
+                                                 (3, pres, pres))
+
+                p = jax.vmap(one)(pa_y0, pa_x0)
             resid_full = p.transpose(0, 2, 1, 3).reshape(
                 -1, pres, 3 * pres)
+        elif batched:
+            sp2 = jax.vmap(pack_stack_channels)(
+                jnp.stack([img2, gradx2, grady2], axis=1))
+            resid_full = jax.vmap(
+                extract_packed_cb, in_axes=(0, 0, 0, None, None))(
+                sp2, pa_y0.reshape(nseq, -1), pa_x0.reshape(nseq, -1),
+                pres, pres).reshape(-1, pres, 3 * pres)
         else:
             sp2 = pack_stack_channels(
                 jnp.stack([img2, gradx2, grady2]))
@@ -286,6 +309,7 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
         flat_i = img2.reshape(-1)
         flat_gx = gradx2.reshape(-1)
         flat_gy = grady2.reshape(-1)
+        seq_off = (seq_ids * jnp.int32(nr2 * nc2) if batched else None)
 
         def samp(flat, xs, ys):
             xt = jnp.clip(xs.astype(jnp.int32), 0, nc2 - 2)
@@ -293,6 +317,9 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
             ax = xs - xt.astype(jnp.float32)
             ay = ys - yt.astype(jnp.float32)
             base = yt * nc2 + xt
+            if batched:
+                base = base + (seq_off[:, None] if base.ndim == 2
+                               else seq_off)
             p00 = jnp.take(flat, base)
             p01 = jnp.take(flat, base + 1)
             p10 = jnp.take(flat, base + nc2)
@@ -667,13 +694,23 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
                                  0, nc2 - p_rep)
                 py0_e = jnp.clip(y2i_e.astype(jnp.int32) - p_rep // 2,
                                  0, nr2 - p_rep)
-                st2 = jnp.stack([img2, gradx2, grady2])
+                if batched:
+                    st2 = jnp.stack([img2, gradx2, grady2], axis=1)
+                    b_e = _gather_rows(seq_ids, idx_e)
 
-                def one(ys, xs):
-                    return jax.lax.dynamic_slice(
-                        st2, (0, ys, xs), (3, p_rep, p_rep))
+                    def one(b, ys, xs):
+                        return jax.lax.dynamic_slice(
+                            st2, (b, 0, ys, xs), (1, 3, p_rep, p_rep))[0]
 
-                pb = jax.vmap(one)(py0_e, px0_e)
+                    pb = jax.vmap(one)(b_e, py0_e, px0_e)
+                else:
+                    st2 = jnp.stack([img2, gradx2, grady2])
+
+                    def one(ys, xs):
+                        return jax.lax.dynamic_slice(
+                            st2, (0, ys, xs), (3, p_rep, p_rep))
+
+                    pb = jax.vmap(one)(py0_e, px0_e)
                 resid_e = pb.transpose(0, 2, 1, 3).reshape(
                     -1, p_rep, 3 * p_rep)
                 samp_r = make_samplers(resid_e, px0_e, py0_e, p_rep)
@@ -753,28 +790,52 @@ def _affine_step_jit(valid, pimg, pgx, pgy, ax_c, ay_c, axx, ayx, axy, ayy,
     # save block — including its patch extraction — is cond-gated.
     def save_patches(args):
         pimg, pgx, pgy, ax_c, ay_c, axx, ayx, axy, ayy = args
-        nr1, nc1 = img1.shape
+        batched = img1.ndim == 3
+        nseq = img1.shape[0] if batched else 1
+        nr1, nc1 = img1.shape[-2], img1.shape[-1]
         if min(nr1, nc1) >= max(ph, pw):
             px0 = jnp.clip(x_old.astype(jnp.int32) - pw // 2, 0,
                            nc1 - pw)
             py0 = jnp.clip(y_old.astype(jnp.int32) - ph // 2, 0,
                            nr1 - ph)
             if _RESIDENT_DS:
-                st1 = jnp.stack([img1, gradx1, grady1])
+                if batched:
+                    st1 = jnp.stack([img1, gradx1, grady1], axis=1)
+                    seq_ids = jnp.repeat(
+                        jnp.arange(nseq, dtype=jnp.int32),
+                        x_old.shape[0] // nseq)
 
-                def one(ys, xs):
-                    return jax.lax.dynamic_slice(st1, (0, ys, xs),
-                                                 (3, ph, pw))
+                    def one(b, ys, xs):
+                        return jax.lax.dynamic_slice(
+                            st1, (b, 0, ys, xs), (1, 3, ph, pw))[0]
 
-                p3 = jax.vmap(one)(py0, px0)
+                    p3 = jax.vmap(one)(seq_ids, py0, px0)
+                else:
+                    st1 = jnp.stack([img1, gradx1, grady1])
+
+                    def one(ys, xs):
+                        return jax.lax.dynamic_slice(st1, (0, ys, xs),
+                                                     (3, ph, pw))
+
+                    p3 = jax.vmap(one)(py0, px0)
                 new_img = p3[:, 0]
                 new_gx = p3[:, 1]
                 new_gy = p3[:, 2]
             else:
                 # packed-stack one-hot extraction for all 3 maps
-                sp1 = pack_stack_channels(jnp.stack([img1, gradx1,
-                                                     grady1]))
-                newp = extract_packed_cb(sp1, py0, px0, ph, pw)
+                if batched:
+                    sp1 = jax.vmap(pack_stack_channels)(
+                        jnp.stack([img1, gradx1, grady1], axis=1))
+                    newp = jax.vmap(
+                        extract_packed_cb,
+                        in_axes=(0, 0, 0, None, None))(
+                        sp1, py0.reshape(nseq, -1),
+                        px0.reshape(nseq, -1), ph, pw
+                    ).reshape(-1, ph, 3 * pw)
+                else:
+                    sp1 = pack_stack_channels(jnp.stack([img1, gradx1,
+                                                         grady1]))
+                    newp = extract_packed_cb(sp1, py0, px0, ph, pw)
                 new_img = newp[:, :, :pw]
                 new_gx = newp[:, :, pw:2 * pw]
                 new_gy = newp[:, :, 2 * pw:]

@@ -22,7 +22,13 @@ gcc -O0 -ffp-contract=off -DNDEBUG -o bench_ref \
 
 mkdir -p "$REPO/tests/fixtures"
 echo "traffic 500 feat + replacement, 551 frames (a few minutes)..."
-./bench_ref /root/reference/data/images_traffic 500 551 0 1 1 \
+# affine arg -1: affineConsistencyCheck OFF (the reference default,
+# src/V1/klt.c:34, and what the replacement workflow V4/example3.c
+# runs).  r3/r4 passed 0 here, which ENABLES the check in translation
+# mode (>= 0, src/V1/trackFeatures.c:1457) -- an oracle the bench
+# config never matched; every kill-decision "divergence" measured in
+# r4 traced back to it.
+./bench_ref /root/reference/data/images_traffic 500 551 -1 1 1 \
     "$REPO/tests/fixtures/table_traffic_500r.ft"
 echo "laptops 2000 feat affine, 60 frames (4-level/ss2 pyramid)..."
 ./bench_ref /root/reference/data/images_laptops 2000 60 2 0 1 \
