@@ -535,8 +535,17 @@ def _table_parity(entry, x_full, y_full, v_full, fixture):
 
 def bench_traffic_replace(jax, jnp, klt, out):
     """Config 2: 500 features, full 551-frame sequence, per-frame
-    device-resident replacement inside the scan, writeFeatures output."""
-    from klt_tpu.runtime.pipeline import track_sequence_replace
+    device-resident replacement inside the scan, writeFeatures output.
+
+    The headline row runs the BIT-EXACT driver (ops/lk_exact +
+    ops/replace_exact + host tie repair): its table reproduces the
+    reference CPU tracker's bit-for-bit (measured drift p99 0.0 px,
+    same_detection_frac 1.0 over all 551 frames).  The fast tier keeps
+    its own row as the throughput point, with honest divergence
+    metrics (ulp position drift flips replacement stamp geometry, so
+    its picks cascade away from the reference's)."""
+    from klt_tpu.runtime.pipeline import (track_sequence_replace,
+                                          track_sequence_replace_exact)
 
     cfg = klt.TrackingConfig(sequential_mode=True)
     t_frames = int(os.environ.get("KLT_TPU_BENCH_TRAFFIC_FRAMES", "551"))
@@ -551,6 +560,31 @@ def bench_traffic_replace(jax, jnp, klt, out):
     v = jnp.asarray(fl.val)
     ft = klt.FeatureTable.create(n_frames, n_feat)
     ft.store_list(fl, 0)
+
+    # ---- bit-exact headline row -----------------------------------
+    dev_frames = jax.device_put(frames)
+    v0 = fl.val.astype(np.int32)
+    xs, ys, vs = track_sequence_replace_exact(  # compile + collect
+        dev_frames, fl.x, fl.y, v0, cfg)
+    ft.x[:, 1:] = xs.T
+    ft.y[:, 1:] = ys.T
+    ft.val[:, 1:] = vs.T
+    t0 = time.perf_counter()
+    track_sequence_replace_exact(dev_frames, fl.x, fl.y, v0, cfg)
+    dt = time.perf_counter() - t0
+    klt.write_feature_table(ft, "/tmp/traffic_features.ft")
+    entry = {
+        "frames_per_s": round((n_frames - 1) / dt, 1),
+        "vs_measured_cpu_baseline": round(
+            (n_frames - 1) / dt / CPU_TRAFFIC_REPLACE_FPS, 1),
+        "frames": int(n_frames),
+        "tier": "bit-exact (lk_exact + replace_exact + tie repair)",
+        "final_live_features": int((vs[-1] >= 0).sum()),
+        "write_features_output": "/tmp/traffic_features.ft",
+    }
+    _table_parity(entry, ft.x, ft.y, ft.val, "table_traffic_500r.ft")
+    entry["contract_ok"] = contract_ok(entry)
+    out["traffic_500feat_replace_551f"] = entry
 
     # pre-stage the frame chunks on device: the timed loop measures
     # tracking + in-scan replacement, not PCIe/tunnel upload
@@ -584,17 +618,16 @@ def bench_traffic_replace(jax, jnp, klt, out):
     t0 = time.perf_counter()
     xf, yf, vf = run(x, y, v, collect=False)
     dt = time.perf_counter() - t0
-    klt.write_feature_table(ft, "/tmp/traffic_features.ft")
     entry = {
         "frames_per_s": round((n_frames - 1) / dt, 1),
         "vs_measured_cpu_baseline": round(
             (n_frames - 1) / dt / CPU_TRAFFIC_REPLACE_FPS, 1),
         "frames": int(n_frames),
+        "tier": "fast (in-scan device replacement)",
         "final_live_features": int((np.asarray(vf) >= 0).sum()),
-        "write_features_output": "/tmp/traffic_features.ft",
     }
     _table_parity(entry, ft.x, ft.y, ft.val, "table_traffic_500r.ft")
-    out["traffic_500feat_replace_551f"] = entry
+    out["traffic_500feat_replace_551f_fast"] = entry
 
     # bf16-band extraction point (r4 A/B: +40% at contract-holding
     # parity — same-detection within-0.5px 0.9993, p99 0.29 px; the
@@ -667,6 +700,74 @@ def bench_laptops_affine(jax, jnp, klt, out):
         np.concatenate([np.asarray(v0)[:, None], np.asarray(r[2]).T], 1),
         "table_laptops_2000aff.ft")
     out["laptops_2000feat_affine_4level"] = entry
+
+
+def bench_laptops_affine_batched(jax, jnp, klt, out):
+    """Config 3 THROUGHPUT point (VERDICT r4 item 1): B disjoint
+    windows of the laptops sequence tracked concurrently with the
+    affine consistency check — the flagship's 47x->102x batching move
+    applied to the affine config.  Window 0 starts at img1, so its
+    first tracked columns compare against the same reference oracle
+    table as the single-stream row (which stays as the latency
+    metric)."""
+    from klt_tpu.parallel.batched_affine import (
+        track_sequences_affine_batched)
+
+    cfg = klt.TrackingConfig(sequential_mode=True,
+                             affine_consistency_check=2,
+                             n_pyramid_levels=4, subsampling=2)
+    n_feat = int(os.environ.get("KLT_TPU_BENCH_AFFB_FEAT", "2000"))
+    f_win = int(os.environ.get("KLT_TPU_BENCH_AFFB_FRAMES", "101"))
+    bsweep = tuple(int(s) for s in os.environ.get(
+        "KLT_TPU_BENCH_AFFB_B", "4,8").split(","))
+    best_entry = None
+    for b in bsweep:
+        frames = _load(klt, "images_laptops", 1, 1 + b * f_win)
+        fb_np = frames.reshape((b, f_win) + frames.shape[1:])
+        seeds = [_seed(klt, fb_np[i, 0], n_feat, cfg)
+                 for i in range(b)]
+        fd = jax.device_put(fb_np)
+        x0 = jnp.asarray(np.stack([s.x for s in seeds]))
+        y0 = jnp.asarray(np.stack([s.y for s in seeds]))
+        v0 = jnp.asarray(np.stack([s.val for s in seeds]))
+        n_pairs = f_win - 1
+
+        r = track_sequences_affine_batched(fd, x0, y0, v0, cfg)
+        _drain(jax, r)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rt = track_sequences_affine_batched(fd, x0 + 1e-4, y0, v0,
+                                                cfg)
+            jax.block_until_ready(rt)
+            best = min(best, (time.perf_counter() - t0))
+        agg = b * n_pairs / best
+        vs_final = np.asarray(r[2][-1])
+        entry = {
+            "batch": b,
+            "frames": int(f_win),
+            "aggregate_frames_per_s": round(agg, 1),
+            "vs_measured_cpu_baseline": round(
+                agg / CPU_LAPTOPS_AFFINE_FPS, 2),
+            "final_live_features_seq0": int((vs_final[0] >= 0).sum()),
+        }
+        # parity from the CLEAN-seed run, window 0 vs the reference
+        # oracle (same fixture as the single-stream row; truncated to
+        # the fixture's 60 frames by _table_parity)
+        _table_parity(
+            entry,
+            np.concatenate([np.asarray(x0)[0][:, None],
+                            np.asarray(r[0][:, 0]).T], 1),
+            np.concatenate([np.asarray(y0)[0][:, None],
+                            np.asarray(r[1][:, 0]).T], 1),
+            np.concatenate([np.asarray(v0)[0][:, None],
+                            np.asarray(r[2][:, 0]).T], 1),
+            "table_laptops_2000aff.ft")
+        entry["contract_ok"] = contract_ok(entry)
+        out[f"laptops_affine_batched_b{b}"] = entry
+        if (best_entry is None or entry["aggregate_frames_per_s"] >
+                best_entry["aggregate_frames_per_s"]):
+            best_entry = entry
 
 
 def bench_batched_3x4096(jax, jnp, klt, out):
@@ -970,29 +1071,38 @@ def bench_slam_e2e(jax, jnp, klt, out):
         uv=jnp.asarray(np.stack([u, v], -1).astype(np.float32)),
         weight=jnp.ones(len(cam_idx), jnp.float32),
         fx=fx, fy=fy, cx=cx, cy=cy)
-    # Huber IRLS (delta 2 px): front-end outlier tracks must not
-    # dominate the quadratic cost (VERDICT r3 item 8)
+    # Huber IRLS (delta 2 px) + reprojection-gated pruning rounds
+    # (VERDICT r4 item 6): drifted front-end tracks are gated OUT of
+    # the problem between LM rounds instead of merely down-weighted,
+    # so the final solve is supported by a clean association set.
+    from klt_tpu.slam import bundle_adjust_gated
     t0 = time.perf_counter()
-    R, t, lm, costs = bundle_adjust_cg(prob, iterations=50,
-                                       robust_delta=2.0)
+    R, t, lm, costs, active = bundle_adjust_gated(
+        prob, rounds=3, iterations=17, robust_delta=2.0, gate_px=2.0)
     _drain(jax, costs)
     ba_compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    R, t, lm, costs = bundle_adjust_cg(prob, iterations=50,
-                                       robust_delta=2.0)
+    R, t, lm, costs, active = bundle_adjust_gated(
+        prob, rounds=3, iterations=17, robust_delta=2.0, gate_px=2.0)
     jax.block_until_ready(costs)
     ba_steady_s = time.perf_counter() - t0
     costs = np.asarray(costs)
     rms = lambda i: round(float(np.sqrt(
         costs[i] / max(len(cam_idx), 1))), 3)
-    # unweighted per-observation residuals at the solution: inlier RMS
-    # (<= delta) + outlier fraction say what the robust cost hides
+    # unweighted per-observation residuals at the solution.
+    # outlier_frac = residuals beyond delta among the observations the
+    # BA is actually fed (the gated-in set); gated_out_frac reports
+    # how much the gating pruned — both are needed to read the result
+    # honestly (a tiny outlier_frac over a tiny surviving set would
+    # mean the front end, not the BA, is broken).
     from klt_tpu.slam.ba import _residual_norms
     rn = np.asarray(_residual_norms(R, t, lm, prob))
-    inl = rn <= 2.0
+    inl = active & (rn <= 2.0)
     inlier_rms = round(float(np.sqrt(np.mean(rn[inl] ** 2)))
                        if inl.any() else -1.0, 3)
-    outlier_frac = round(float(1.0 - inl.mean()), 4)
+    outlier_frac = round(float((rn[active] > 2.0).mean())
+                         if active.any() else 1.0, 4)
+    gated_out_frac = round(float(1.0 - active.mean()), 4)
     out["slam_frontend_ba"] = {
         "frontend_frames_per_s": round((n_frames - 1) / fe_s, 1),
         "frontend_compile_plus_run_s": round(fe_compile_and_run, 2),
@@ -1018,6 +1128,8 @@ def bench_slam_e2e(jax, jnp, klt, out):
             "reproj_rms_px": [rms(0), rms(len(costs) // 2), rms(-1)],
             "inlier_rms_px": inlier_rms,
             "outlier_frac": outlier_frac,
+            "gated_out_frac": gated_out_frac,
+            "active_observations": int(active.sum()),
         },
     }
 
@@ -1081,7 +1193,8 @@ def main():
     # Evidence-bearing entries first (roofline before the long slam /
     # functional-only scaling runs so a budget overrun can't starve it).
     for fn in (bench_flagship_batched, bench_traffic_replace,
-               bench_laptops_affine, bench_batched_3x4096,
+               bench_laptops_affine, bench_laptops_affine_batched,
+               bench_batched_3x4096,
                bench_roofline, bench_slam_e2e, bench_batch_scaling):
         if time.perf_counter() - t_start > budget:
             extras[fn.__name__] = {"skipped": "bench time budget"}
@@ -1103,7 +1216,7 @@ _CONTRACT_KEYS = (
     "lane0_status_agreement", "lane0_drift_px_vs_cpu_golden",
     "status_agreement_vs_exact", "within_half_px_vs_exact",
     "tracked_features_per_s", "extract_prec", "scan_unroll",
-    "contract_ok", "outlier_frac",
+    "contract_ok", "outlier_frac", "gated_out_frac", "tier",
     "final_live_features", "frames", "batch", "iter_cap", "error",
     "skipped",
 )

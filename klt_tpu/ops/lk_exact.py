@@ -19,10 +19,10 @@ loop's:
 
 * pyramids/gradients via the C-ordered shift-FMA convolutions of
   ops/replace_exact (measured bit-identical on the real chip);
-* patch gathering via one-hot matmuls in HIGHEST precision — exact,
-  because every product is 0*x or 1*x and the bf16x3 decomposition of
-  an f32 splits it into three non-overlapping addends whose f32
-  re-accumulation is exact;
+* patch gathering via vmapped dynamic_slice of the stacked
+  (img, gx, gy) maps — integer-aligned pure copies, trivially exact
+  (and far cheaper than the one-hot-matmul alternative, which is also
+  exact but pays O(N*p*H) FLOPs per sample);
 * bilinear interpolation with the C expression's exact multiply
   grouping and left-to-right sum (src/V1/trackFeatures.c:54-57);
 * window reductions as unrolled 49-step sequential add chains in
@@ -118,22 +118,17 @@ def _patch_size(win: int) -> int:
     return win + 2 * _PAT_MARGIN + 1
 
 
-def _extract_patches(img, bx, by, p: int):
-    """One-hot-matmul extraction of [N, p, p] patches whose (0, 0)
-    texel is (by, bx) — exact (products are 0*x / 1*x; see module
-    docstring).  Out-of-image rows/cols produce zeros; callers only
-    consume them on lanes already declared OOB."""
-    h, w = img.shape
-    rows = by[:, None] + jnp.arange(p, dtype=jnp.int32)[None, :]  # [N,p]
-    cols = bx[:, None] + jnp.arange(p, dtype=jnp.int32)[None, :]
-    oy = (rows[:, :, None] == jnp.arange(h, dtype=jnp.int32)).astype(_F32)
-    ox = (cols[:, :, None] == jnp.arange(w, dtype=jnp.int32)).astype(_F32)
-    tmp = jnp.einsum("nph,hw->npw", oy, img,
-                     precision=jax.lax.Precision.HIGHEST,
-                     preferred_element_type=_F32)
-    return jnp.einsum("npw,nqw->npq", tmp, ox,
-                      precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=_F32)
+def _extract_patches3_ds(stack3, bx, by, p: int):
+    """[3, H, W] stacked (img, gx, gy) -> [N, 3, p, p] patches by
+    vmapped dynamic_slice — integer-aligned pure copies, so bit-exact
+    like the one-hot matmuls but without their O(N*p*H) FLOPs (the
+    measured trade ops/affine.py already made; the base coords are
+    pre-clamped by callers)."""
+
+    def one(ys, xs):
+        return jax.lax.dynamic_slice(stack3, (0, ys, xs), (3, p, p))
+
+    return jax.vmap(one)(by, bx)
 
 
 def _bilerp_windows(patches, x, y, bx, by, win: int):
@@ -242,19 +237,20 @@ def _track_level_exact(img1, gx1, gy1, img2, gx2, gy2,
         by = jnp.clip(by, 0, nr - p)
         return bx, by
 
+    st1 = jnp.stack([img1, gx1, gy1])
+    st2 = jnp.stack([img2, gx2, gy2])
+
     # windows at (x1, y1) are iteration-invariant: hoist (the C loop
     # recomputes them each iteration with identical results)
     bx1, by1 = base_of(x1, y1)
-    pat1 = {"img": _extract_patches(img1, bx1, by1, p),
-            "gx": _extract_patches(gx1, bx1, by1, p),
-            "gy": _extract_patches(gy1, bx1, by1, p)}
+    p1 = _extract_patches3_ds(st1, bx1, by1, p)
+    pat1 = {"img": p1[:, 0], "gx": p1[:, 1], "gy": p1[:, 2]}
     w1 = _bilerp_windows(pat1, x1, y1, bx1, by1, win)
 
     def sample2(x, y):
         bx, by = base_of(x, y)
-        pat2 = {"img": _extract_patches(img2, bx, by, p),
-                "gx": _extract_patches(gx2, bx, by, p),
-                "gy": _extract_patches(gy2, bx, by, p)}
+        p2 = _extract_patches3_ds(st2, bx, by, p)
+        pat2 = {"img": p2[:, 0], "gx": p2[:, 1], "gy": p2[:, 2]}
         return _bilerp_windows(pat2, x, y, bx, by, win)
 
     def diff_windows(w2):
@@ -279,11 +275,15 @@ def _track_level_exact(img1, gx1, gy1, img2, gx2, gy2,
         imgdiff = diff_windows(w2)
         gradx = w1["gx"] + w2["gx"]   # C: g1 + g2
         grady = w1["gy"] + w2["gy"]
-        gxx = _window_chain_sum(gradx * gradx)
-        gxy = _window_chain_sum(gradx * grady)
-        gyy = _window_chain_sum(grady * grady)
-        ex = _window_chain_sum(imgdiff * gradx) * step_factor
-        ey = _window_chain_sum(imgdiff * grady) * step_factor
+        # one stacked chain for all five window sums: each lane's add
+        # sequence is unchanged (the stack widens the vector, not the
+        # chain), but the scan body issues 49 ops instead of 245
+        sums = _window_chain_sum(jnp.concatenate(
+            [gradx * gradx, gradx * grady, grady * grady,
+             imgdiff * gradx, imgdiff * grady]))
+        gxx, gxy, gyy, ex, ey = jnp.split(sums, 5)
+        ex = ex * step_factor
+        ey = ey * step_factor
         det = gxx * gyy - gxy * gxy
         det_ok = det >= small
         det_safe = jnp.where(det_ok, det, _F32(1.0))

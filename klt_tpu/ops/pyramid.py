@@ -76,3 +76,21 @@ def build_pyramid_stacks(img: jax.Array, cfg: TrackingConfig):
             return fused_build_pyramid_stacks(img, cfg)
     pyr, gx, gy = build_image_pyramids(img, cfg)
     return [jnp.stack([p, a, b]) for p, a, b in zip(pyr, gx, gy)]
+
+
+def build_pyramid_stacks_batched(imgs: jax.Array, cfg: TrackingConfig):
+    """[B, H, W] frames -> finest-first list of [B, 3, H_l, W_l]
+    stacks.  On TPU this is ONE Pallas launch with a multi-image grid
+    tile (a vmap over the single-image kernel runs B sequential
+    instances whose small-frame tap steps are issue-latency bound — r4
+    roofline: 13% of HBM peak; the batched kernel multiplies per-op
+    work by the tile size at bit-identical per-image results).  Falls
+    back to the vmapped single-image path elsewhere."""
+    from ..pallas import pallas_enabled
+    if pallas_enabled():
+        from ..pallas.pyramid import (supported_batched,
+                                      fused_build_pyramid_stacks_batched)
+        if supported_batched(imgs.shape, cfg):
+            return fused_build_pyramid_stacks_batched(imgs, cfg)
+    sts = jax.vmap(lambda im: tuple(build_pyramid_stacks(im, cfg)))(imgs)
+    return list(sts)

@@ -137,7 +137,16 @@ def exact_response_device(frame, cfg: TrackingConfig):
     g, d = gaussian_kernels(cfg.grad_sigma)
     gx = _conv_v_exact(_conv_h_exact(fi, d), g)
     gy = _conv_v_exact(_conv_h_exact(fi, g), d)
+    return exact_response_from_grads(gx, gy, cfg)
 
+
+def exact_response_from_grads(gx, gy, cfg: TrackingConfig):
+    """Exact-order response from already-built level-0 gradients — the
+    sequential-mode reuse of tc->pyramid_last's gradients
+    (src/V1/selectGoodFeatures.c:342-348).  The gradients must come
+    from the C-ordered conv chain (ops/lk_exact.build_pyramids_exact
+    builds the identical maps, so in-scan callers avoid recomputing
+    the smoothing + gradient convolutions)."""
     hh, hw = cfg.window_height // 2, cfg.window_width // 2
     h, w = gx.shape
     vh, vw = h - 2 * hh, w - 2 * hw
@@ -174,14 +183,17 @@ def _masked_int_response(resp, cfg: TrackingConfig):
     return jnp.where(valid & (ri >= floor), ri, jnp.int32(-1))
 
 
-def replace_lost_features_exact(frame, x, y, val, cfg: TrackingConfig):
+def replace_lost_features_exact(frame, x, y, val, cfg: TrackingConfig,
+                                grads=None):
     """Fill lost slots (val < 0) on device with the reference's exact
     pick semantics; returns (x, y, val, tie) where tie=True flags a
     call whose outcome depended on an integer response tie (the one
     case the device cannot resolve reference-faithfully — route those
     frames to the host native walk).
 
-    frame: [H, W] raw frame (uint8/f32); x, y f32 [N]; val i32 [N]."""
+    frame: [H, W] raw frame (uint8/f32); x, y f32 [N]; val i32 [N];
+    grads: optional precomputed exact level-0 (gx, gy) — the
+    sequential-mode gradient reuse."""
     h, w = frame.shape
     floor = max(1, int(cfg.min_eigenvalue))
     stamp = max(int(cfg.mindist) - 1, 0)
@@ -189,7 +201,8 @@ def replace_lost_features_exact(frame, x, y, val, cfg: TrackingConfig):
     n_lost = jnp.sum(val < 0)
 
     def do_replace(_):
-        resp = exact_response_device(frame, cfg)
+        resp = (exact_response_from_grads(*grads, cfg) if grads
+                else exact_response_device(frame, cfg))
         m = _masked_int_response(resp, cfg)
         m = _stamp_live_features(m, x, y, val, cfg)
 

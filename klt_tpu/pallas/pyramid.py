@@ -155,6 +155,140 @@ def supported(img_shape, cfg: TrackingConfig) -> bool:
     return True
 
 
+# ------------------------------------------------------------------ #
+# natively batched variant                                             #
+# ------------------------------------------------------------------ #
+# A vmap over the single-image kernel runs B sequential grid instances
+# whose [H, W] tap steps are ISSUE-LATENCY bound at small frames (r4
+# roofline: 9.9 us/launch = 13% of HBM peak at 320x240; the pyramid ate
+# 34% of the flagship step).  Processing a Bt-image tile per grid
+# instance multiplies per-op work by Bt without changing any per-image
+# f32 sequence: the H-pass merges the batch into the row axis (rows are
+# independent), the V-pass shifts a 3D block along its middle axis, and
+# decimation stays per-image 2D matmuls.  Bit-equal per image to the
+# single-image kernel (tests/test_pallas.py, interpret mode).
+
+
+def _hconv_b(x, taps):
+    """Batched horizontal pass on [Bt, H, W]; per-image results
+    bit-equal to _hconv (rows are independent, so merging [Bt, H] into
+    one row axis changes scheduling only)."""
+    width = len(taps)
+    r = width // 2
+    bt, h, w = x.shape
+    x2 = x.reshape(bt * h, w)
+    pad = jnp.pad(x2, ((0, 0), (r, r)))
+    acc = pad[:, 0:w] * taps[width - 1]
+    for k in range(1, width):
+        acc = acc + pad[:, k:k + w] * taps[width - 1 - k]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (bt * h, w), 1)
+    acc = jnp.where((idx >= r) & (idx < w - r), acc, 0.0)
+    return acc.reshape(bt, h, w)
+
+
+def _vconv_b(x, taps):
+    """Batched vertical pass on [Bt, H, W] (shifts along axis 1)."""
+    width = len(taps)
+    r = width // 2
+    bt, h, w = x.shape
+    pad = jnp.pad(x, ((0, 0), (r, r), (0, 0)))
+    acc = pad[:, 0:h, :] * taps[width - 1]
+    for k in range(1, width):
+        acc = acc + pad[:, k:k + h, :] * taps[width - 1 - k]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (bt, h, w), 1)
+    return jnp.where((idx >= r) & (idx < h - r), acc, 0.0)
+
+
+def _sep_b(x, htaps, vtaps):
+    return _vconv_b(_hconv_b(x, htaps), vtaps)
+
+
+def _decimate_b(x, h_out, w_out, s, sh):
+    """Per-image one-hot decimation of [Bt, H, W] (static Bt unroll of
+    the 2D MXU matmuls — identical per-image arithmetic)."""
+    return jnp.stack([_decimate(x[b], h_out, w_out, s, sh)
+                      for b in range(x.shape[0])])
+
+
+# Measured live set of the batched kernel at 320x240 (Mosaic scoped
+# vmem report): ~7.6 MB/image = ~25 f32 buffers — the decimate unroll,
+# padded conv intermediates and per-level output blocks all stay live,
+# unlike the single-image kernel's ~8.
+_LIVE_BUFFERS_BATCHED = 26
+
+
+def batch_tile(b: int, h: int, w: int) -> int:
+    """Largest divisor of b whose live working set fits the VMEM
+    budget (0 if even one image does not fit)."""
+    per_img = h * w * 4 * _LIVE_BUFFERS_BATCHED
+    if per_img > _VMEM_BUDGET_BYTES:
+        return 0
+    bt = max(1, _VMEM_BUDGET_BYTES // per_img)
+    bt = min(bt, 16, b)  # >16 images/tile has no further latency win
+    while b % bt:
+        bt -= 1
+    return bt
+
+
+def supported_batched(imgs_shape, cfg: TrackingConfig) -> bool:
+    if len(imgs_shape) != 3:
+        return False
+    b, h, w = imgs_shape
+    return b > 0 and batch_tile(b, h, w) > 0 and supported((h, w), cfg)
+
+
+@functools.lru_cache(maxsize=32)
+def _fused_call_batched(b: int, h: int, w: int, cfg: TrackingConfig,
+                        in_dtype_name: str):
+    g_s, g_g, d_g, g_p = _taps(cfg)
+    shapes = pyramid_shapes(w, h, cfg)
+    nlev = cfg.n_pyramid_levels
+    s = cfg.subsampling
+    sh = s // 2
+    bt = batch_tile(b, h, w)
+
+    def kernel(img_ref, *out_refs):
+        f = img_ref[:]
+        if f.dtype != jnp.float32:
+            f = f.astype(jnp.int32).astype(jnp.float32)
+        level = _sep_b(f, g_s, g_s)
+        for lvl in range(nlev):
+            tmp_d = _hconv_b(level, d_g)
+            tmp_g = _hconv_b(level, g_g)
+            out_refs[lvl][:, 0] = level
+            out_refs[lvl][:, 1] = _vconv_b(tmp_d, g_g)
+            out_refs[lvl][:, 2] = _vconv_b(tmp_g, d_g)
+            if lvl < nlev - 1:
+                sm = _sep_b(level, g_p, g_p)
+                ncols, nrows = shapes[lvl + 1]
+                level = _decimate_b(sm, nrows, ncols, s, sh)
+
+    from . import interpret_mode
+    out_shape = [jax.ShapeDtypeStruct((b, 3, r, c), jnp.float32)
+                 for (c, r) in shapes]
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bt,),
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec((bt, h, w), lambda i: (i, 0, 0))],
+        out_specs=[pl.BlockSpec((bt, 3, r, c), lambda i: (i, 0, 0, 0))
+                   for (c, r) in shapes],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret_mode(),
+    )
+
+
+def fused_build_pyramid_stacks_batched(imgs: jax.Array,
+                                       cfg: TrackingConfig):
+    """imgs: uint8/f32 [B, H, W] -> finest-first list of
+    [B, 3, H_l, W_l] stacks in ONE launch (Bt-image grid tiles)."""
+    b, h, w = imgs.shape
+    call = _fused_call_batched(b, h, w, cfg, str(imgs.dtype))
+    outs = call(imgs)
+    return list(outs) if isinstance(outs, (list, tuple)) else [outs]
+
+
 def fused_build_pyramid_stacks(img: jax.Array, cfg: TrackingConfig):
     """Finest-first list of [3, H_l, W_l] (intensity, gradx, grady)
     stacks — the LK driver's native input layout."""

@@ -365,9 +365,13 @@ def _packed_stacks(imgs, cfg: TrackingConfig):
     MEASURED NEGATIVE RESULT: emitting the packed layout directly from
     the fused pyramid kernel (in-kernel lane concat at non-128-aligned
     W) ran 2552 vs 2484 us/step at B=16 — the Mosaic concat relayout
-    costs more than the XLA-side pack it replaces.  Keep the XLA pack."""
-    from ..ops.pyramid import build_pyramid_stacks
-    sts = jax.vmap(lambda im: tuple(build_pyramid_stacks(im, cfg)))(imgs)
+    costs more than the XLA-side pack it replaces.  Keep the XLA pack.
+
+    The build itself is the natively-batched pyramid kernel (one
+    launch, multi-image grid tiles) — the r4 roofline's 13%-of-HBM
+    latency hole was B sequential vmap instances."""
+    from ..ops.pyramid import build_pyramid_stacks_batched
+    sts = build_pyramid_stacks_batched(imgs, cfg)
     return tuple(jax.vmap(pack_stack_channels)(s) for s in sts)
 
 

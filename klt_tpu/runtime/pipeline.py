@@ -54,10 +54,10 @@ def _pallas_key():
 
 
 def _stacks_stream(frames_tail, cfg: TrackingConfig):
-    """Pyramid stacks for T frames in one vmapped (single-launch)
-    build: tuple of [T, 3, H_l, W_l] per level."""
-    return tuple(jax.vmap(
-        lambda im: tuple(build_pyramid_stacks(im, cfg)))(frames_tail))
+    """Pyramid stacks for T frames in one natively-batched launch:
+    tuple of [T, 3, H_l, W_l] per level."""
+    from ..ops.pyramid import build_pyramid_stacks_batched
+    return tuple(build_pyramid_stacks_batched(frames_tail, cfg))
 
 
 def _scan_unroll() -> int:
@@ -207,6 +207,38 @@ def _replace_chunk_flagged_jit(pyr1_state, frames, x, y, val,
     return (xf, yf, vf), st_f, ys
 
 
+@functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(0,))
+def _replace_chunk_exact_jit(pyr1, frames, x, y, val,
+                             cfg: TrackingConfig):
+    """Scan one frame chunk on the BIT-EXACT tier: tracking via
+    ops/lk_exact (every f32 op rounds as the reference C loop does, so
+    positions and kill decisions are bit-identical — one ulp of drift
+    flips min-distance stamp geometry and cascades the picks) and
+    replacement via the exact integer response, reusing the tracking
+    pyramid's level-0 gradients (the reference's sequential-mode reuse,
+    src/V1/selectGoodFeatures.c:342-348)."""
+    from ..ops.lk_exact import build_pyramids_exact, track_features_exact
+    from ..ops.replace_exact import replace_lost_features_exact
+
+    def body(carry, frame):
+        p1, x, y, v = carry
+        p2 = build_pyramids_exact(frame, cfg)
+        xn, yn, vn = track_features_exact(p1, p2, x, y, v, cfg)
+        xr, yr, vr, tie = replace_lost_features_exact(
+            frame, xn, yn, vn, cfg, grads=(p2[1][0], p2[2][0]))
+        return (p2, xr, yr, vr), (xr, yr, vr, xn, yn, vn, tie)
+
+    (pf, xf, yf, vf), ys = jax.lax.scan(body, (pyr1, x, y, val),
+                                        frames, unroll=_scan_unroll())
+    return (xf, yf, vf), pf, ys
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _exact_pyramids_jit(frame, cfg: TrackingConfig):
+    from ..ops.lk_exact import build_pyramids_exact
+    return build_pyramids_exact(frame, cfg)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _exact_response_jit(frame, cfg: TrackingConfig, pallas_key=None):
     from ..ops.replace_exact import exact_response_device
@@ -236,13 +268,20 @@ def _repair_replacement_host(frame, pre_x, pre_y, pre_val,
 
 
 def track_sequence_replace_exact(frames, x, y, val, cfg: TrackingConfig):
-    """Whole-sequence tracking with REFERENCE-EXACT per-frame
-    replacement: the device scan uses the bit-exact integer response
-    and flags any pick decision that hit an integer tie (the only
-    divergence window, see ops/replace_exact.py); flagged frames are
-    repaired on the host with the native quicksort walk and the scan
-    resumes from the repaired state.  Tie-free spans (measured ~90% of
-    frames on images_traffic) never leave the device.
+    """Whole-sequence tracking with REFERENCE-EXACT semantics: by
+    default BOTH the tracking (ops/lk_exact — bit-identical positions
+    and kill decisions) and the per-frame replacement run on the
+    bit-exact tier, so the produced table matches the reference CPU
+    tracker's bit-for-bit except at integer response TIES in a pick
+    decision (the one case quicksort order decides); the scan flags
+    those frames and they are repaired on the host with the native
+    quicksort walk, then the scan resumes from the repaired state.
+    Tie-free spans (measured ~90% of frames on images_traffic) never
+    leave the device.
+
+    KLT_TPU_REPLACE_TRACK_TIER=fast keeps the fast LK tier for
+    tracking (≈ulp-accurate, not bit-exact — stamp-geometry flips can
+    cascade picks; kept for A/B measurement).
 
     frames: uint8/f32 [T, H, W] (host or device); x, y f32 [N]; val
     i32 [N].  Returns numpy (xs, ys, vals) of shape [T-1, N] matching
@@ -251,6 +290,8 @@ def track_sequence_replace_exact(frames, x, y, val, cfg: TrackingConfig):
     """
     import numpy as np
 
+    exact_tier = os.environ.get("KLT_TPU_REPLACE_TRACK_TIER",
+                                "exact") != "fast"
     t_total = int(frames.shape[0])
     n = int(x.shape[0])
     chunk = max(1, int(os.environ.get("KLT_TPU_REPLACE_CHUNK", "32")))
@@ -258,9 +299,18 @@ def track_sequence_replace_exact(frames, x, y, val, cfg: TrackingConfig):
     out_y = np.empty((t_total - 1, n), np.float32)
     out_v = np.empty((t_total - 1, n), np.int32)
 
-    pyr = prepare_pyramids(jnp.asarray(frames[0]), cfg)
+    def build_state(frame):
+        return (_exact_pyramids_jit(frame, cfg) if exact_tier
+                else prepare_pyramids(frame, cfg))
+
+    def run_chunk(pyr, fb, xd, yd, vd):
+        if exact_tier:
+            return _replace_chunk_exact_jit(pyr, fb, xd, yd, vd, cfg)
+        return _replace_chunk_flagged_jit(pyr, fb, xd, yd, vd, cfg,
+                                          _pallas_key())
+
+    pyr = build_state(jnp.asarray(frames[0]))
     xd, yd, vd = jnp.asarray(x), jnp.asarray(y), jnp.asarray(val)
-    pk = _pallas_key()
 
     t = 1  # next frame index to track into
     while t < t_total:
@@ -269,8 +319,7 @@ def track_sequence_replace_exact(frames, x, y, val, cfg: TrackingConfig):
         # log2(chunk)+1 programs (same scheme as track_sequence_stream)
         step = chunk if rem >= chunk else 1 << (rem.bit_length() - 1)
         fb = jnp.asarray(frames[t:t + step])
-        (xf, yf, vf), pyr2, ys = _replace_chunk_flagged_jit(
-            pyr, fb, xd, yd, vd, cfg, pk)
+        (xf, yf, vf), pyr2, ys = run_chunk(pyr, fb, xd, yd, vd)
         ties = np.asarray(ys[6])
         if not ties.any():
             out_x[t - 1:t - 1 + step] = np.asarray(ys[0])
@@ -294,7 +343,7 @@ def track_sequence_replace_exact(frames, x, y, val, cfg: TrackingConfig):
         xd = jnp.asarray(fxr)
         yd = jnp.asarray(fyr)
         vd = jnp.asarray(fvr)
-        pyr = prepare_pyramids(jnp.asarray(frames[t + k]), cfg)
+        pyr = build_state(jnp.asarray(frames[t + k]))
         t += k + 1
     return out_x, out_y, out_v
 

@@ -15,12 +15,14 @@ tracks into a minimal TPU-native SLAM pipeline:
 
 from .chains import tracks_from_table, select_keyframes
 from .geometry import se3_exp, se3_apply, project
-from .ba import BAProblem, bundle_adjust, bundle_adjust_cg
+from .ba import (BAProblem, bundle_adjust, bundle_adjust_cg,
+                 bundle_adjust_gated)
 from .pose_graph import PoseGraph, optimize_pose_graph
 
 __all__ = [
     "tracks_from_table", "select_keyframes",
     "se3_exp", "se3_apply", "project",
     "BAProblem", "bundle_adjust", "bundle_adjust_cg",
+    "bundle_adjust_gated",
     "PoseGraph", "optimize_pose_graph",
 ]

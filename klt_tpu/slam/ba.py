@@ -414,6 +414,96 @@ def bundle_adjust_cg(prob: BAProblem, mesh: Mesh | None = None,
                      robust_delta)
 
 
+def _refit_landmarks(R, t, lm, prob: BAProblem, iters: int = 3,
+                     robust_delta: float = 2.0):
+    """Robust landmark-only refinement with poses FIXED: per-landmark
+    damped GN on its own observations, fully parallel over landmarks.
+
+    This rescues landmarks the gating loop would otherwise freeze
+    dead: a landmark whose support fell below the gate keeps a stale
+    3D position, so its clean observations never pass the gate again.
+    With poses near-correct, a Huber refit pulls each landmark to the
+    consistent majority of its observations."""
+    n_lm = int(prob.landmarks.shape[0])
+    d = jnp.float32(robust_delta)
+
+    def body(lm, _):
+        n = _residual_norms(R, t, lm, prob)
+        hub = jnp.where(n <= d, 1.0, jnp.sqrt(d / jnp.maximum(n, d)))
+        r, _, jl = _obs_blocks(R, t, lm, prob.cam_idx, prob.lm_idx,
+                               prob.uv, prob.weight * hub,
+                               prob.fx, prob.fy, prob.cx, prob.cy)
+        V = jax.ops.segment_sum(
+            jnp.einsum("mki,mkj->mij", jl, jl, precision=_HI),
+            prob.lm_idx, num_segments=n_lm)
+        bl = jax.ops.segment_sum(
+            -jnp.einsum("mki,mk->mi", jl, r, precision=_HI),
+            prob.lm_idx, num_segments=n_lm)
+        V = V + 1e-4 * jnp.eye(3, dtype=jnp.float32)
+        dlm = jnp.einsum("lij,lj->li", inv3(V), bl)
+        return lm + dlm, None
+
+    lm, _ = jax.lax.scan(body, lm, None, length=iters)
+    return lm
+
+
+def bundle_adjust_gated(prob: BAProblem, mesh: Mesh | None = None,
+                        rounds: int = 3, iterations: int = 20,
+                        damping: float = 10.0, fix_first: bool = True,
+                        cg_iters: int = 250, cg_tol: float = 1e-5,
+                        robust_delta: float = 2.0,
+                        gate_px: float = 2.0,
+                        min_obs_per_lm: int = 2):
+    """Geometrically gated BA: alternate robust LM rounds with
+    reprojection-threshold track pruning — the classic SLAM inlier
+    gating loop (VERDICT r4 item 6: the Huber IRLS alone was carrying
+    a 61%-outlier association load from drifted front-end tracks).
+
+    After each round the active set is RE-EVALUATED from the current
+    solution: observations whose UNWEIGHTED residual norm exceeds
+    `gate_px` sit out the next round (weight 0), and landmarks left
+    with fewer than `min_obs_per_lm` live observations are dropped
+    entirely.  Re-evaluation (rather than monotone shrinking) matters
+    under heavy contamination: the first round's solution is still
+    pulled by outliers, so clean observations can transiently exceed
+    the gate and must be able to re-enter once the solve recovers —
+    a genuinely drifted track stays out because the solution moves
+    away from it, not toward it.
+
+    Returns (R, t, landmarks, costs [rounds*iterations], active [M]
+    bool — the observations the final solution is supported by)."""
+    R, t, lm = prob.R, prob.t, prob.landmarks
+    active = np.asarray(prob.weight) > 0
+    fed = np.asarray(prob.weight) > 0  # caller's hard zero-weights
+    n_lm = int(prob.landmarks.shape[0])
+    base_w = prob.weight
+    costs_all = []
+    for rd in range(rounds):
+        pw = dataclasses.replace(
+            prob, R=R, t=t, landmarks=lm,
+            weight=jnp.where(jnp.asarray(active), base_w, 0.0))
+        R, t, lm, costs = bundle_adjust_cg(
+            pw, mesh, iterations, damping, fix_first, cg_iters,
+            cg_tol, robust_delta)
+        costs_all.append(np.asarray(costs))
+        if rd < rounds - 1:
+            # rescue frozen landmarks before re-evaluating the gate
+            lm = _refit_landmarks(R, t, lm, prob, 3, robust_delta)
+            rn = np.asarray(_residual_norms(R, t, lm, prob))
+            # annealed gate: wide early (the round-1 solution is still
+            # outlier-pulled; a tight early gate over-prunes clean
+            # observations), tightening to gate_px for the final round
+            gate = gate_px * (2.0 ** (rounds - 2 - rd))
+            act = fed & (rn <= gate)
+            cnt = np.zeros(n_lm, np.int32)
+            np.add.at(cnt, np.asarray(prob.lm_idx), act.astype(np.int32))
+            act &= cnt[np.asarray(prob.lm_idx)] >= min_obs_per_lm
+            if act.sum() < 6:  # never gate into a degenerate problem
+                break
+            active = act
+    return R, t, lm, jnp.asarray(np.concatenate(costs_all)), active
+
+
 def _lm_drive(prob: BAProblem, mesh: Mesh | None, iterations: int,
               damping: float, gn_step, robust_delta=None):
     # prob must already be padded to the mesh (callers do it before

@@ -32,6 +32,9 @@ TINY_ENV = {
     "KLT_TPU_BENCH_N4096": "8",
     "KLT_TPU_BENCH_AFFINE_FRAMES": "2",
     "KLT_TPU_BENCH_AFFINE_FEAT": "32",
+    "KLT_TPU_BENCH_AFFB_FRAMES": "3",
+    "KLT_TPU_BENCH_AFFB_FEAT": "32",
+    "KLT_TPU_BENCH_AFFB_B": "2",
     "KLT_TPU_BENCH_TRAFFIC_FRAMES": "3",
     "KLT_TPU_BENCH_TRAFFIC_FEAT": "32",
     "KLT_TPU_BENCH_SLAM_FRAMES": "80",
@@ -99,6 +102,7 @@ def test_bench_traffic_replace_smoke(tiny_env):
     out = {}
     bench.bench_traffic_replace(jax, jnp, klt, out)
     assert "traffic_500feat_replace_551f" in out
+    assert "traffic_500feat_replace_551f_fast" in out
     assert "traffic_500feat_replace_551f_bf16" in out
     # the bf16 probe row must carry the one-place contract verdict
     assert "contract_ok" in out["traffic_500feat_replace_551f_bf16"]
@@ -111,6 +115,15 @@ def test_bench_laptops_affine_smoke(tiny_env):
     out = {}
     bench.bench_laptops_affine(jax, jnp, klt, out)
     assert "laptops_2000feat_affine_4level" in out
+    _assert_clean(out)
+
+
+def test_bench_laptops_affine_batched_smoke(tiny_env):
+    _dataset_or_skip("images_laptops")
+    klt.set_verbosity(0)
+    out = {}
+    bench.bench_laptops_affine_batched(jax, jnp, klt, out)
+    assert "laptops_affine_batched_b2" in out
     _assert_clean(out)
 
 

@@ -53,6 +53,44 @@ def test_fused_pyramid_matches_oracle(provided_frames, interpret_pallas,
                                        atol=2e-4)
 
 
+def test_batched_pyramid_kernel_bit_equal(provided_frames,
+                                          interpret_pallas,
+                                          monkeypatch):
+    """The natively-batched pyramid kernel must match the single-image
+    kernel per image — including a multi-tile grid.  Interpret mode
+    executes through XLA:CPU, whose conv-chain codegen is
+    shape-dependent at the ulp level, so this asserts tight allclose;
+    the real-chip check (tools/check_batched_pyr.py) asserts BIT
+    equality (measured: 0 mismatches at B=32)."""
+    from klt_tpu.pallas import pyramid as pp
+    pp._fused_call_batched.cache_clear()
+    cfg = TrackingConfig()
+    imgs = jnp.asarray(np.stack(provided_frames[:3]))
+    assert pp.supported_batched(imgs.shape, cfg)
+    outs = jax.jit(
+        lambda im: pp.fused_build_pyramid_stacks_batched(im, cfg))(imgs)
+    refs = [jax.jit(lambda im: pp.fused_build_pyramid_stacks(
+        im, cfg))(imgs[b]) for b in range(3)]
+
+    def check(outs):
+        for b in range(3):
+            for r, o in zip(refs[b], outs):
+                np.testing.assert_allclose(np.asarray(r),
+                                           np.asarray(o[b]),
+                                           atol=1e-4, rtol=1e-5)
+
+    check(outs)
+    # multi-tile grid: force a 1-image tile so the index_map walks
+    h, w = imgs.shape[1], imgs.shape[2]
+    monkeypatch.setattr(pp, "_VMEM_BUDGET_BYTES",
+                        pp._LIVE_BUFFERS_BATCHED * h * w * 4)
+    pp._fused_call_batched.cache_clear()
+    assert pp.batch_tile(3, h, w) == 1
+    check(jax.jit(
+        lambda im: pp.fused_build_pyramid_stacks_batched(im, cfg))(imgs))
+    pp._fused_call_batched.cache_clear()
+
+
 def test_lk_kernel_matches_gather_oracle(provided_frames, interpret_pallas,
                                          monkeypatch):
     import klt_tpu.ops.lk as LK

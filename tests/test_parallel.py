@@ -299,3 +299,50 @@ def test_multihost_two_process():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
         assert "MULTIHOST OK" in out, out[-3000:]
+
+
+def test_batched_affine_matches_single(provided_frames):
+    """track_sequences_affine_batched over B distinct sequences must
+    reproduce each sequence's single-stream track_sequence_affine
+    result: identical statuses, positions within 1e-3 px (XLA tiles
+    the [B*N]-lane einsums differently from the [N]-lane program, so
+    single-ulp position differences are expected, bit-equality is
+    not)."""
+    import jax.numpy as jnp
+    from klt_tpu.config import TrackingConfig
+    from klt_tpu.runtime.pipeline import track_sequence_affine
+    from klt_tpu.parallel.batched_affine import (
+        track_sequences_affine_batched)
+
+    cfg = TrackingConfig(sequential_mode=True,
+                         affine_consistency_check=2)
+    starts = (0, 3, 6)
+    n = 48
+    seqs, xs0, ys0, vs0 = [], [], [], []
+    for s in starts:
+        fr = np.stack(provided_frames[s:s + 4])
+        tr = klt.KLTracker(cfg)
+        fl = klt.FeatureList.create(n)
+        tr.select_good_features(fr[0], fl)
+        seqs.append(fr)
+        xs0.append(fl.x.copy())
+        ys0.append(fl.y.copy())
+        vs0.append(fl.val.copy())
+
+    fb = jnp.asarray(np.stack(seqs))
+    xb = jnp.asarray(np.stack(xs0))
+    yb = jnp.asarray(np.stack(ys0))
+    vb = jnp.asarray(np.stack(vs0))
+    bx, by, bv = track_sequences_affine_batched(fb, xb, yb, vb, cfg)
+
+    for i, s in enumerate(starts):
+        rx, ry, rv = track_sequence_affine(
+            jnp.asarray(seqs[i]), jnp.asarray(xs0[i]),
+            jnp.asarray(ys0[i]), jnp.asarray(vs0[i]), cfg)
+        np.testing.assert_array_equal(np.asarray(bv[:, i]),
+                                      np.asarray(rv))
+        live = np.asarray(rv) >= 0
+        np.testing.assert_allclose(np.asarray(bx[:, i])[live],
+                                   np.asarray(rx)[live], atol=1e-3)
+        np.testing.assert_allclose(np.asarray(by[:, i])[live],
+                                   np.asarray(ry)[live], atol=1e-3)

@@ -85,6 +85,47 @@ def test_ba_converges():
     assert np.abs(np.asarray(lm) - lm_true).max() < 2e-2
 
 
+def test_ba_gated_rejects_outlier_spike():
+    """bundle_adjust_gated on an outlier-spiked synthetic problem
+    (VERDICT r4 item 6): 40% of observations are corrupted by large
+    uv offsets; the gating rounds must (a) monotonically decrease the
+    accepted cost, (b) gate out essentially all spiked observations
+    while keeping the clean ones, and (c) land the inlier RMS at the
+    noise floor."""
+    import dataclasses
+    from klt_tpu.slam import bundle_adjust_gated
+    from klt_tpu.slam.ba import _residual_norms
+
+    rng = np.random.RandomState(7)
+    prob, R_true, t_true, lm_true = _synthetic_problem(
+        rng, n_pose=4, n_lm=60, noise=0.3)
+    m = int(prob.uv.shape[0])
+    spike = rng.rand(m) < 0.4
+    off = rng.uniform(8.0, 60.0, (m, 2)).astype(np.float32) * \
+        np.sign(rng.randn(m, 2)).astype(np.float32)
+    uv = np.asarray(prob.uv) + np.where(spike[:, None], off, 0.0)
+    prob = dataclasses.replace(prob, uv=jnp.asarray(uv))
+
+    R, t, lm, costs, active = bundle_adjust_gated(
+        prob, rounds=3, iterations=10, damping=1e-2,
+        robust_delta=2.0, gate_px=3.0)
+    costs = np.asarray(costs)
+    assert costs[-1] < costs[0]
+    # essentially every spike gated out; the bulk of clean obs kept.
+    # (Retention below ~0.8 is structural to this small-baseline
+    # geometry: a landmark with half its support spiked is bimodal —
+    # fitting the spiked pair and fitting the clean pair cost about
+    # the same — so its clean observations can be lost with it.)
+    assert active[spike].mean() <= 0.05, active[spike].mean()
+    assert active[~spike].mean() >= 0.70, active[~spike].mean()
+    rn = np.asarray(_residual_norms(R, t, lm, prob))
+    inl = rn[active]
+    assert np.sqrt(np.mean(inl ** 2)) <= 1.0  # noise floor ~0.3*sqrt2
+    # the inlier-fraction floor on the BA FEED: what the solve is
+    # supported by must be clean associations
+    assert (rn[active] <= 3.0).mean() >= 0.98
+
+
 def test_ba_sharded_matches_single():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
