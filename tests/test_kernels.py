@@ -60,3 +60,25 @@ def test_gauss_normalized():
 def test_sigma_too_large_raises():
     with np.testing.assert_raises(ValueError):
         gaussian_kernels(25.0)
+
+
+def test_div_cr_correctly_rounded():
+    """ops.lk_exact._div_cr must produce the correctly-rounded f32
+    quotient (= what C scalar division gives).  On CPU the hardware
+    divide is already correctly rounded, so this doubles as a
+    no-perturbation regression; on TPU it is the fix for the
+    faithfully-but-not-correctly-rounded divide."""
+    import jax
+    import jax.numpy as jnp
+    from klt_tpu.ops.lk_exact import _div_cr
+
+    rng = np.random.RandomState(5)
+    a = (rng.uniform(-1e6, 1e6, 20000)).astype(np.float32)
+    b = (rng.uniform(0.01, 1e5, 20000) *
+         np.sign(rng.randn(20000))).astype(np.float32)
+    got = np.asarray(jax.jit(_div_cr)(jnp.asarray(a), jnp.asarray(b)))
+    ref = (a.astype(np.float64) / b.astype(np.float64)).astype(np.float32)
+    np.testing.assert_array_equal(got, ref)
+    # exact quotients stay exact
+    q = np.asarray(jax.jit(_div_cr)(jnp.float32(3.0), jnp.float32(4.0)))
+    assert q == np.float32(0.75)
