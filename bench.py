@@ -408,8 +408,11 @@ def bench_flagship_batched(jax, jnp, klt, out):
     # lane-0 golden-parity fields, and it becomes the headline only
     # within the accuracy contract (status agreement 1.0, drift <=
     # 0.5 px vs the CPU golden table).
+    # "high:3" = the F32-EXACT tier with scan unroll 3 (attacks the
+    # r4 roofline's 32% per-step glue without touching precision —
+    # the f32 row must clear 100x on its own, VERDICT r4 item 4)
     prsweep = tuple(s for s in os.environ.get(
-        "KLT_TPU_BENCH_PREC", "bf16,bf16:3").split(",") if s)
+        "KLT_TPU_BENCH_PREC", "high:3,bf16,bf16:3").split(",") if s)
     if prsweep and best_entry is not None:
         b = best_entry["batch"]
         prec_saved = os.environ.get("KLT_TPU_EXTRACT_PREC")

@@ -224,7 +224,10 @@ def batch_tile(b: int, h: int, w: int) -> int:
     if per_img > _VMEM_BUDGET_BYTES:
         return 0
     bt = max(1, _VMEM_BUDGET_BYTES // per_img)
-    bt = min(bt, 16, b)  # >16 images/tile has no further latency win
+    # tile cap 4: bt=8 at 320x240 wedged the Mosaic/AOT compile for
+    # >80 min (bt=4 compiles in minutes and already amortizes the
+    # per-op issue latency 4x); larger tiles also gain little
+    bt = min(bt, 4, b)
     while b % bt:
         bt -= 1
     return bt
@@ -234,18 +237,25 @@ def supported_batched(imgs_shape, cfg: TrackingConfig) -> bool:
     if len(imgs_shape) != 3:
         return False
     b, h, w = imgs_shape
-    return b > 0 and batch_tile(b, h, w) > 0 and supported((h, w), cfg)
+    # bt == 1 has no latency-amortization win over the single-image
+    # kernel — callers should vmap that instead (also keeps 1-image
+    # builds on the identical compiled program as per-step builds)
+    return b > 1 and batch_tile(b, h, w) > 1 and supported((h, w), cfg)
 
 
 @functools.lru_cache(maxsize=32)
-def _fused_call_batched(b: int, h: int, w: int, cfg: TrackingConfig,
+def _fused_call_batched(bt: int, h: int, w: int, cfg: TrackingConfig,
                         in_dtype_name: str):
+    """Grid-FREE whole-tile kernel on [bt, H, W].  A Pallas grid over
+    batch tiles wedged the Mosaic/AOT compile (observed: multi-tile
+    grids hang >80 min where the identical grid-free kernel compiles
+    in minutes), so tiling happens at the JAX level instead — the
+    caller maps this call over bt-sized chunks."""
     g_s, g_g, d_g, g_p = _taps(cfg)
     shapes = pyramid_shapes(w, h, cfg)
     nlev = cfg.n_pyramid_levels
     s = cfg.subsampling
     sh = s // 2
-    bt = batch_tile(b, h, w)
 
     def kernel(img_ref, *out_refs):
         f = img_ref[:]
@@ -264,15 +274,13 @@ def _fused_call_batched(b: int, h: int, w: int, cfg: TrackingConfig,
                 level = _decimate_b(sm, nrows, ncols, s, sh)
 
     from . import interpret_mode
-    out_shape = [jax.ShapeDtypeStruct((b, 3, r, c), jnp.float32)
+    out_shape = [jax.ShapeDtypeStruct((bt, 3, r, c), jnp.float32)
                  for (c, r) in shapes]
     return pl.pallas_call(
         kernel,
-        grid=(b // bt,),
         out_shape=out_shape,
-        in_specs=[pl.BlockSpec((bt, h, w), lambda i: (i, 0, 0))],
-        out_specs=[pl.BlockSpec((bt, 3, r, c), lambda i: (i, 0, 0, 0))
-                   for (c, r) in shapes],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * nlev,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret_mode(),
@@ -282,11 +290,17 @@ def _fused_call_batched(b: int, h: int, w: int, cfg: TrackingConfig,
 def fused_build_pyramid_stacks_batched(imgs: jax.Array,
                                        cfg: TrackingConfig):
     """imgs: uint8/f32 [B, H, W] -> finest-first list of
-    [B, 3, H_l, W_l] stacks in ONE launch (Bt-image grid tiles)."""
+    [B, 3, H_l, W_l] stacks, built bt images per kernel instance
+    (JAX-level chunking over one compiled grid-free tile program)."""
     b, h, w = imgs.shape
-    call = _fused_call_batched(b, h, w, cfg, str(imgs.dtype))
-    outs = call(imgs)
-    return list(outs) if isinstance(outs, (list, tuple)) else [outs]
+    bt = batch_tile(b, h, w)
+    call = _fused_call_batched(bt, h, w, cfg, str(imgs.dtype))
+    if bt == b:
+        outs = call(imgs)
+        return list(outs) if isinstance(outs, (list, tuple)) else [outs]
+    chunks = [call(imgs[i:i + bt]) for i in range(0, b, bt)]
+    return [jnp.concatenate([c[lvl] for c in chunks])
+            for lvl in range(len(chunks[0]))]
 
 
 def fused_build_pyramid_stacks(img: jax.Array, cfg: TrackingConfig):

@@ -233,6 +233,15 @@ def test_precomp_pyramid_bit_exact(provided_frames, monkeypatch):
     monkeypatch.setenv("KLT_TPU_PALLAS_INTERPRET", "1")
     cfg = TrackingConfig(sequential_mode=True)
     frames = np.stack(provided_frames[:4])
+    # force the vmapped single-image builder for BOTH paths: interpret
+    # mode inlines the Pallas kernel into the surrounding XLA:CPU
+    # program, whose conv-chain rounding is context/shape-dependent at
+    # the last bit, so the chunked batched builder cannot be
+    # bit-stable across per-step vs precomp contexts HERE.  On the
+    # real chip the batched builder is bit-equal to the single-image
+    # kernel (measured, tools/check_batched_pyr.py).
+    from klt_tpu.pallas import pyramid as pp
+    monkeypatch.setattr(pp, "supported_batched", lambda *_: False)
     rng = np.random.RandomState(3)
     b, n = 2, 96
     x = rng.uniform(30, 290, (b, n)).astype(np.float32)
