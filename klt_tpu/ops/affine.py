@@ -287,10 +287,16 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
         elif batched:
             sp2 = jax.vmap(pack_stack_channels)(
                 jnp.stack([img2, gradx2, grady2], axis=1))
-            resid_full = jax.vmap(
-                extract_packed_cb, in_axes=(0, 0, 0, None, None))(
-                sp2, pa_y0.reshape(nseq, -1), pa_x0.reshape(nseq, -1),
-                pres, pres).reshape(-1, pres, 3 * pres)
+            # lax.map (not vmap): one sequence's band extraction at a
+            # time — the vmapped form materializes the whole batch's
+            # one-hot temporaries at once (~4-6 GB at B=8, N=2000,
+            # P=32 on 640x480), which took down the TPU worker
+            resid_full = jax.lax.map(
+                lambda t: extract_packed_cb(t[0], t[1], t[2],
+                                            pres, pres),
+                (sp2, pa_y0.reshape(nseq, -1),
+                 pa_x0.reshape(nseq, -1))
+            ).reshape(-1, pres, 3 * pres)
         else:
             sp2 = pack_stack_channels(
                 jnp.stack([img2, gradx2, grady2]))
@@ -826,11 +832,13 @@ def _affine_step_jit(valid, pimg, pgx, pgy, ax_c, ay_c, axx, ayx, axy, ayy,
                 if batched:
                     sp1 = jax.vmap(pack_stack_channels)(
                         jnp.stack([img1, gradx1, grady1], axis=1))
-                    newp = jax.vmap(
-                        extract_packed_cb,
-                        in_axes=(0, 0, 0, None, None))(
-                        sp1, py0.reshape(nseq, -1),
-                        px0.reshape(nseq, -1), ph, pw
+                    # lax.map for peak-memory control (see the
+                    # resident extraction above)
+                    newp = jax.lax.map(
+                        lambda t: extract_packed_cb(t[0], t[1], t[2],
+                                                    ph, pw),
+                        (sp1, py0.reshape(nseq, -1),
+                         px0.reshape(nseq, -1))
                     ).reshape(-1, ph, 3 * pw)
                 else:
                     sp1 = pack_stack_channels(jnp.stack([img1, gradx1,
