@@ -543,8 +543,14 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
     max_it = cfg.affine_max_iterations
     # CPU-measured convergence on laptops (2000 feat): <= 8 lanes still
     # active after 2 iterations, so a fixed narrow width suffices (the
-    # full-width cond branch handles pathological frames)
-    m_c = min(int(os.environ.get("KLT_TPU_AFFINE_COMPACT_M", "128")),
+    # full-width cond branch handles pathological frames).  The budget
+    # is PER SEQUENCE: active/escape counts are global over the
+    # flattened [B*N] lane axis, so a fixed 128 overflows at B=8 and
+    # the cond falls into the full-width branch every step (measured:
+    # 2.8 agg fps vs 155 translation-only at B=8 — the whole round-4
+    # batched-affine collapse).
+    m_c = min(int(os.environ.get("KLT_TPU_AFFINE_COMPACT_M",
+                                 "128")) * nseq,
               -(-n_lanes // 128) * 128)
     do_compact = _COMPACT and m_c < n_lanes and max_it > _COMPACT_PRE
 
@@ -647,7 +653,12 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
     # m_r escapes fall back to exact full-image gather sampling
     # (pathological; correctness over speed).
     if have_res:
-        m_r = min(int(os.environ.get("KLT_TPU_AFFINE_REPAIR_M", "128")),
+        # per-sequence budget, like m_c above: the escape count is
+        # global over [B*N] lanes, and overflowing m_r falls back to
+        # the full-width GATHER repair (scalar-core serialized) —
+        # catastrophic at B=8
+        m_r = min(int(os.environ.get("KLT_TPU_AFFINE_REPAIR_M",
+                                     "128")) * nseq,
                   -(-n_lanes // 128) * 128)
         # default 96 (margin ~41 px): measured winner over 128/192 on
         # laptops (63.0 / 58.2 / 48.3-at-192+P48 fps, same parity)
