@@ -62,6 +62,15 @@ _HI = jax.lax.Precision.HIGHEST
 _SAMPLE_PREC = (jax.lax.Precision.DEFAULT
                 if os.environ.get("KLT_TPU_AFFINE_SAMPLE_PREC") == "bf16"
                 else jax.lax.Precision.HIGH)
+# KLT_TPU_AFFINE_SAMPLE_BF16=1 (import-time): materialize the one-hot
+# weight tensors AND the row-selected intermediate in bf16.  The
+# sampling path is HBM-bound ([N, K, P] weights + [N, K, 3P] tmp per
+# call dominate the GN iteration's bytes), so halving the element size
+# nearly halves the iteration wall.  NOT bit-stable vs the f32 tier —
+# bench rows using it carry their own parity fields and are gated on
+# the accuracy contract, exactly like KLT_TPU_EXTRACT_PREC=bf16.
+_SAMPLE_BF16 = os.environ.get("KLT_TPU_AFFINE_SAMPLE_BF16") == "1"
+_W_DT = jnp.bfloat16 if _SAMPLE_BF16 else jnp.float32
 
 
 def _bilinear_weights(u, v, ph, pw):
@@ -79,6 +88,8 @@ def _bilinear_weights(u, v, ph, pw):
           ((vi[..., None] + 1) == iy) * fv)
     wx = ((ui[..., None] == ix) * (1.0 - fu) +
           ((ui[..., None] + 1) == ix) * fu)
+    if _SAMPLE_BF16:
+        return wy.astype(_W_DT), wx.astype(_W_DT)
     return wy, wx
 
 
@@ -93,8 +104,9 @@ def _sample_in_patch(patch, u, v):
     the sample is two HIGHEST-precision einsums on the MXU."""
     n, ph, pw = patch.shape
     wy, wx = _bilinear_weights(u, v, ph, pw)
-    tmp = jnp.einsum("nki,nij->nkj", wy, patch, precision=_SAMPLE_PREC,
-                     preferred_element_type=jnp.float32)
+    tmp = jnp.einsum("nki,nij->nkj", wy, patch.astype(wy.dtype),
+                     precision=_SAMPLE_PREC,
+                     preferred_element_type=wy.dtype)
     return jnp.einsum("nkj,nkj->nk", tmp, wx, precision=_SAMPLE_PREC,
                       preferred_element_type=jnp.float32)
 
@@ -114,8 +126,9 @@ def _sample_in_patch3(packed, u, v, pres):
     shared weight build + one row einsum for all three channels.
     Returns (img, gx, gy) samples, each [N, K]."""
     wy, wx = _bilinear_weights(u, v, pres, pres)
-    tmp = jnp.einsum("nki,nij->nkj", wy, packed, precision=_SAMPLE_PREC,
-                     preferred_element_type=jnp.float32)  # [N, K, 3P]
+    tmp = jnp.einsum("nki,nij->nkj", wy, packed.astype(wy.dtype),
+                     precision=_SAMPLE_PREC,
+                     preferred_element_type=wy.dtype)  # [N, K, 3P]
     outs = []
     for c in range(3):
         outs.append(jnp.einsum(
@@ -367,6 +380,10 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
 
         p_loc = pres if pres_loc is None else pres_loc
         p_locf = np.float32(p_loc)
+        if _SAMPLE_BF16:
+            # one cast per call (not per sample): the bf16 copy is
+            # what every GN-iteration einsum then reads
+            resid = resid.astype(_W_DT)
         rimg = resid[:, :, :p_loc]
         pax0f = pax0.astype(jnp.float32)[:, None]
         pay0f = pay0.astype(jnp.float32)[:, None]
@@ -525,7 +542,12 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
             return jnp.any(~s[1][7]) & (s[0] < max_it)
 
         def w_body(s):
-            return s[0] + 1, body(s[1])
+            nxt = s[0] + 1, body(s[1])
+            if os.environ.get("KLT_TPU_AFFINE_DEBUG_COUNTS") == "1":
+                jax.debug.print("  gn it={i} width={w} active={a}",
+                                i=nxt[0], w=nxt[1][7].shape[0],
+                                a=jnp.sum((~nxt[1][7]).astype(jnp.int32)))
+            return nxt
 
         return jax.lax.while_loop(w_cond, w_body, (it0, state))
 
@@ -541,34 +563,43 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
 
     n_lanes = int(x2_in.shape[0])
     max_it = cfg.affine_max_iterations
-    # CPU-measured convergence on laptops (2000 feat): <= 8 lanes still
-    # active after 2 iterations, so a fixed narrow width suffices (the
-    # full-width cond branch handles pathological frames).  The budget
-    # is PER SEQUENCE: active/escape counts are global over the
-    # flattened [B*N] lane axis, so a fixed 128 overflows at B=8 and
-    # the cond falls into the full-width branch every step (measured:
-    # 2.8 agg fps vs 155 translation-only at B=8 — the whole round-4
-    # batched-affine collapse).
-    m_c = min(int(os.environ.get("KLT_TPU_AFFINE_COMPACT_M",
-                                 "128")) * nseq,
-              -(-n_lanes // 128) * 128)
-    do_compact = _COMPACT and m_c < n_lanes and max_it > _COMPACT_PRE
+    # Staged compaction LADDER.  Measured convergence on laptops
+    # (2000 feat/seq, B=8): active lanes decay slowly — 0.45N after
+    # it2, 0.29N after it4, 0.14N after it6, 0.08N after it8, and ~5%
+    # never converge — so a single narrow compaction never fires and
+    # every iteration used to run full-width.  Instead, after the
+    # _COMPACT_PRE full-width iterations, each ladder stage compacts
+    # the still-active lanes to a fraction of N (with ~25-50% headroom
+    # over the measured decay) and runs a couple of iterations there;
+    # sampling traffic per iteration is proportional to the stage
+    # width, so the ladder cuts the GN loop's HBM bytes ~2.3x.  A
+    # stage whose count overflows its width runs those iterations
+    # full-width and the next stage re-tries (correctness never
+    # depends on the schedule: gather/scatter is lane-exact).
+    # KLT_TPU_AFFINE_LADDER="iters:frac,..." overrides; the last
+    # stage always runs to max_it.
+    _ladder_env = os.environ.get(
+        "KLT_TPU_AFFINE_LADDER", "2:0.5,2:0.375,2:0.1875,9:0.125")
+    _stages = [(int(a), float(b)) for a, b in
+               (s.split(":") for s in _ladder_env.split(",") if s)]
+    do_compact = _COMPACT and _stages and max_it > _COMPACT_PRE
 
-    if not do_compact:
-        _, st = run_gn(body_full, jnp.int32(0), st0, max_it)
-    else:
-        pre = min(_COMPACT_PRE, max_it)
-        it1, st1 = run_gn(body_full, jnp.int32(0), st0, pre)
-        act = ~st1[7]
+    def compact_run(st_in, it_in, w, it_stop):
+        """Run iterations [it_in, it_stop) at compacted width w when
+        the active count fits, else at full width."""
+        act = ~st_in[7]
         cnt = jnp.sum(act.astype(jnp.int32))
+        if os.environ.get("KLT_TPU_AFFINE_DEBUG_COUNTS") == "1":
+            jax.debug.print("affine ladder cnt_active={c} (w={m})",
+                            c=cnt, m=w)
         slots = jnp.cumsum(act.astype(jnp.int32)) - 1
-        tgt = jnp.where(act, slots, m_c)
-        idx = jnp.zeros((m_c,), jnp.int32).at[tgt].set(
+        tgt = jnp.where(act, slots, w)
+        idx = jnp.zeros((w,), jnp.int32).at[tgt].set(
             jnp.arange(n_lanes, dtype=jnp.int32), mode="drop")
 
         def compact_branch(st_in):
             stc = tuple(_gather_rows(a, idx) for a in st_in)
-            pad_dead = jnp.arange(m_c, dtype=jnp.int32) >= cnt
+            pad_dead = jnp.arange(w, dtype=jnp.int32) >= cnt
             stc = stc[:7] + (stc[7] | pad_dead, stc[8])
             if have_res:
                 samp_c = make_samplers(_gather_rows(resid_full, idx),
@@ -581,17 +612,38 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
                                _gather_rows(gx1w_full, idx),
                                _gather_rows(gy1w_full, idx),
                                _gather_rows(src_oob_full, idx))
-            _, stc2 = run_gn(body_c, it1, stc, max_it)
-            sl = jnp.clip(slots, 0, m_c - 1)
+            _, stc2 = run_gn(body_c, it_in, stc, it_stop)
+            sl = jnp.clip(slots, 0, w - 1)
             return tuple(
                 jnp.where(act, jnp.take(a_c, sl, axis=0), a_f)
                 for a_f, a_c in zip(st_in, stc2))
 
         def full_branch(st_in):
-            _, stf = run_gn(body_full, it1, st_in, max_it)
+            _, stf = run_gn(body_full, it_in, st_in, it_stop)
             return stf
 
-        st = jax.lax.cond(cnt <= m_c, compact_branch, full_branch, st1)
+        return jax.lax.cond(cnt <= w, compact_branch, full_branch,
+                            st_in)
+
+    if not do_compact:
+        _, st = run_gn(body_full, jnp.int32(0), st0, max_it)
+    else:
+        pre = min(_COMPACT_PRE, max_it)
+        it_k, st = run_gn(body_full, jnp.int32(0), st0, pre)
+        done_iters = pre
+        for si, (n_it, frac) in enumerate(_stages):
+            if done_iters >= max_it:
+                break
+            last = (si == len(_stages) - 1)
+            stop = max_it if last else min(done_iters + n_it, max_it)
+            w = min(-(-int(frac * n_lanes) // 128) * 128, n_lanes)
+            w = max(w, 128)
+            if w >= n_lanes:
+                it_k, st = run_gn(body_full, it_k, st, stop)
+            else:
+                st = compact_run(st, it_k, w, stop)
+                it_k = jnp.int32(stop)
+            done_iters = stop
 
     def finalize(x2, y2, axx, ayx, axy, ayy, status, sample_img_fn, g1_f):
         """Post-loop checks (src/V1/trackFeatures.c:1185-1208):
@@ -668,6 +720,9 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
         def repair(args):
             x2_a, y2_a, axx_a, ayx_a, axy_a, ayy_a, status_a = args
             cnt_e = jnp.sum(esc.astype(jnp.int32))
+            if os.environ.get("KLT_TPU_AFFINE_DEBUG_COUNTS") == "1":
+                jax.debug.print("affine cnt_esc={c} (m_r={m})", c=cnt_e,
+                                m=m_r)
             slots_e = jnp.cumsum(esc.astype(jnp.int32)) - 1
 
             def _run_repair(samp_r, st_init, g1_e, gx1w_e, gy1w_e,
@@ -696,11 +751,12 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
                     LARGE_RESIDUE, ste)
                 return x2e, y2e, axxe, ayxe, axye, ayye, ste
 
-            def compact_repair(_):
-                tgt_e = jnp.where(esc, slots_e, m_r)
-                idx_e = jnp.zeros((m_r,), jnp.int32).at[tgt_e].set(
+            def make_compact_repair(w_r):
+              def compact_repair(_):
+                tgt_e = jnp.where(esc, slots_e, w_r)
+                idx_e = jnp.zeros((w_r,), jnp.int32).at[tgt_e].set(
                     jnp.arange(n_lanes, dtype=jnp.int32), mode="drop")
-                pad_dead = jnp.arange(m_r, dtype=jnp.int32) >= cnt_e
+                pad_dead = jnp.arange(w_r, dtype=jnp.int32) >= cnt_e
                 st0_c = tuple(_gather_rows(a, idx_e) for a in st0)
                 st0_c = st0_c[:7] + (st0_c[7] | pad_dead, st0_c[8])
                 x2i_e = _gather_rows(x2_in, idx_e)
@@ -737,8 +793,9 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
                     _gather_rows(gy1w_full, idx_e),
                     _gather_rows(src_oob_full, idx_e),
                     x2i_e, y2i_e)
-                sl = jnp.clip(slots_e, 0, m_r - 1)
+                sl = jnp.clip(slots_e, 0, w_r - 1)
                 return tuple(jnp.take(a, sl, axis=0) for a in rs)
+              return compact_repair
 
             def full_repair(_):
                 st0_f = st0[:7] + (st0[7] | ~esc, st0[8])
@@ -746,8 +803,19 @@ def track_affine(patches, img2, gradx2, grady2, x1, y1, x2_in, y2_in,
                     make_exact_samplers(), st0_f, g1_full, gx1w_full,
                     gy1w_full, src_oob_full, x2_in, y2_in)
 
-            rep = jax.lax.cond(cnt_e <= m_r, compact_repair,
-                               full_repair, 0)
+            # two-stage width: the measured escape count is tiny
+            # (~20-30 at B=8x2000 lanes), so a narrow 128-lane pass
+            # handles virtually every frame at ~1/8 the repair bytes;
+            # the per-sequence-scaled m_r catches spikes, and only a
+            # pathological frame pays the full-width gather repair
+            m_small = min(128, m_r)
+            rep_big = (full_repair if m_r <= m_small else
+                       lambda a: jax.lax.cond(cnt_e <= m_r,
+                                              make_compact_repair(m_r),
+                                              full_repair, a))
+            rep = jax.lax.cond(cnt_e <= m_small,
+                               make_compact_repair(m_small),
+                               rep_big, 0)
             return tuple(jnp.where(esc, r, a) for r, a in
                          zip(rep, (x2_a, y2_a, axx_a, ayx_a, axy_a,
                                    ayy_a, status_a)))

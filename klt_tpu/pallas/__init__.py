@@ -45,7 +45,8 @@ _TRACE_KNOBS = (
     ("KLT_TPU_SCAN_UNROLL", "1"),
     ("KLT_TPU_AFFINE_REPAIR_P", ""),
     ("KLT_TPU_AFFINE_REPAIR_M", ""),
-    ("KLT_TPU_AFFINE_COMPACT_M", ""),
+    ("KLT_TPU_AFFINE_LADDER", ""),
+    ("KLT_TPU_AFFINE_DEBUG_COUNTS", "0"),
 )
 
 
